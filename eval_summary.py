@@ -1,0 +1,106 @@
+"""Evaluation summary tables (eval_summary.ipynb parity, as a script).
+
+Loads all eval/<run>.npy files, interpolates cubes-vs-simulation-steps curves
+(step 100), computes per-(robot-config, env) cutoffs = the earliest time the
+best method gathered its last cube, and reports mean +- std cubes at cutoff
+per experiment.
+
+Usage: python eval_summary.py [--eval-dir eval]
+"""
+
+import argparse
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+STEP = 100
+
+
+def get_curve_for_run(data, max_steps=None):
+    """Interpolated cubes-vs-sim-steps curves per episode."""
+    curves = []
+    for episode in data:
+        steps = np.array([e["simulation_steps"] for e in episode])
+        cubes = np.array([e["cubes"] for e in episode])
+        if max_steps is None:
+            limit = steps[-1]
+        else:
+            limit = max_steps
+        xs = np.arange(0, limit + STEP, STEP)
+        ys = np.interp(xs, steps, cubes, left=0, right=cubes[-1] if len(cubes) else 0)
+        curves.append((xs, ys))
+    return curves
+
+
+def run_key(run_name):
+    """<timestamp>-<robots>-<env>-<method> -> (robots-env, method)."""
+    parts = run_name.split("-")
+    if len(parts) >= 4:
+        return "-".join(parts[1:3]), "-".join(parts[3:])
+    return run_name, "unknown"
+
+
+def load_all(eval_dir):
+    runs = {}
+    for path in sorted(Path(eval_dir).glob("*.npy")):
+        runs[path.stem] = np.load(path, allow_pickle=True)
+    return runs
+
+
+def get_all_cutoffs(runs):
+    """Per (robot-config, env) group: earliest sim-step at which the best
+    method collected its final cube."""
+    cutoffs = {}
+    for run_name, data in runs.items():
+        cfg_env, _ = run_key(run_name)
+        last_cube_steps = []
+        for episode in data:
+            cubes = [e["cubes"] for e in episode]
+            steps = [e["simulation_steps"] for e in episode]
+            final = cubes[-1] if cubes else 0
+            t = next((s for s, c in zip(steps, cubes) if c >= final), steps[-1] if steps else 0)
+            last_cube_steps.append(t)
+        mean_t = float(np.mean(last_cube_steps)) if last_cube_steps else 0.0
+        cutoffs[cfg_env] = min(cutoffs.get(cfg_env, float("inf")), mean_t)
+    return cutoffs
+
+
+def get_all_results(runs, cutoffs):
+    results = defaultdict(list)
+    for run_name, data in runs.items():
+        cfg_env, method = run_key(run_name)
+        cutoff = cutoffs.get(cfg_env, None)
+        cubes_at_cutoff = []
+        for episode in data:
+            steps = np.array([e["simulation_steps"] for e in episode])
+            cubes = np.array([e["cubes"] for e in episode])
+            if len(steps) == 0:
+                cubes_at_cutoff.append(0)
+                continue
+            c = np.interp(cutoff, steps, cubes, left=0, right=cubes[-1])
+            cubes_at_cutoff.append(c)
+        results[(cfg_env, method)].append(
+            (float(np.mean(cubes_at_cutoff)), float(np.std(cubes_at_cutoff)))
+        )
+    return results
+
+
+def main(eval_dir):
+    runs = load_all(eval_dir)
+    if not runs:
+        print("no eval results in", eval_dir)
+        return
+    cutoffs = get_all_cutoffs(runs)
+    results = get_all_results(runs, cutoffs)
+    print(f"{'config-env':40s} {'method':28s} {'cubes@cutoff':>14s}")
+    for (cfg_env, method), vals in sorted(results.items()):
+        for mean, std in vals:
+            print(f"{cfg_env:40s} {method:28s} {mean:8.2f} +- {std:.2f}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--eval-dir", default="eval")
+    args = parser.parse_args()
+    main(args.eval_dir)

@@ -1,0 +1,752 @@
+"""The batched environment: reset / step with the reference's sequential
+action protocol.
+
+``reset`` and ``step`` operate on ONE environment (vmap for a batch; see
+``vector_env.py``).  ``step`` mirrors VectorEnv.step (envs.py:230-320):
+
+  inject action -> run simulation substeps until some robot idles ->
+  set exactly one idle robot awaiting -> cube post-processing ->
+  rewards/stats for awaiting (or all, if done) robots -> observation for the
+  awaiting robot.
+
+Expensive perception (configuration spaces, wavefront distance images) is
+evaluated at step boundaries; partial-reward distance lookups are deferred to
+the step end using recorded (initial, final) cube-position pairs, which is
+semantically equivalent because the reference's occupancy memory is monotone
+and its distance deltas subtract lookups from the same metric
+(envs.py:1082-1087, 1210-1215, 2189-2194).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..ops import paths, raster_ops, wavefront
+from . import dynamics, geometry, mapper
+from .types import (
+    CUBE_AVAILABLE,
+    CUBE_REMOVED,
+    IDLE,
+    MOVING,
+    EnvParams,
+    EnvState,
+)
+
+BIG = 1e9
+N = constants.LOCAL_MAP_PIXEL_WIDTH
+
+
+# ---------------------------------------------------------------------------
+# Reset (VectorEnv.reset, envs.py:187-222 + _create_env/_reset_poses)
+# ---------------------------------------------------------------------------
+
+def _random_position(key, params, bounds, padding):
+    """_get_random_position (envs.py:701-717): uniform in the room rectangle
+    shrunk by padding, intersected with the spawn bounds."""
+    x_min, x_max, y_min, y_max = bounds[0], bounds[1], bounds[2], bounds[3]
+    low_x = jnp.where(jnp.isfinite(x_min), x_min, -params.room_length / 2) + padding
+    high_x = jnp.where(jnp.isfinite(x_max), x_max, params.room_length / 2) - padding
+    low_y = jnp.where(jnp.isfinite(y_min), y_min, -params.room_width / 2) + padding
+    high_y = jnp.where(jnp.isfinite(y_max), y_max, params.room_width / 2) - padding
+    u = jax.random.uniform(key, (2,))
+    return jnp.stack([low_x + u[0] * (high_x - low_x), low_y + u[1] * (high_y - low_y)])
+
+
+def reset(params: EnvParams, key) -> EnvState:
+    h, w = params.map_shape
+    r_n, c_n = params.num_robots, params.num_cubes
+    k_layout, k_cubes, k_robots, k_state = jax.random.split(key, 4)
+
+    layout = geometry.sample_layout(
+        k_layout, params.env_name, params.room_length, params.room_width, params.has_receptacle
+    )
+    rects, corners, robot_bounds, cube_bounds = layout
+    wall_map, seg_base = geometry.rasterize_layout(
+        layout, h, w, params.room_length, params.room_width, params.receptacle_position
+    )
+
+    # --- Cube spawns: rejection against the receptacle (envs.py:685-694) ---
+    tries = constants.SPAWN_REJECTION_TRIES
+
+    def spawn_cube(k):
+        k1, k2 = jax.random.split(k)
+        cand = jax.vmap(lambda kk: _random_position(kk, params, cube_bounds, constants.CUBE_WIDTH / 2))(
+            jax.random.split(k1, tries)
+        )
+        ok = ~dynamics.in_receptacle(params, cand) if params.has_receptacle else jnp.ones(tries, bool)
+        idx = jnp.argmax(ok)
+        heading = jax.random.uniform(k2, (), minval=-math.pi, maxval=math.pi)
+        return cand[idx], heading
+
+    cube_xy, cube_heading = jax.vmap(spawn_cube)(jax.random.split(k_cubes, c_n))
+    cube_pos = jnp.concatenate(
+        [cube_xy, jnp.full((c_n, 1), constants.CUBE_WIDTH / 2)], axis=-1
+    )
+
+    # --- Robot spawns: rejection against walls / robots / cubes
+    # (_reset_poses re-roll loop, envs.py:651-683) ---
+    robot_pos = jnp.zeros((r_n, 2))
+    robot_heading = jnp.zeros((r_n,))
+    rkeys = jax.random.split(k_robots, r_n)
+    radii = params.radii
+    for r in range(r_n):
+        k1, k2 = jax.random.split(rkeys[r])
+        cand = jax.vmap(
+            lambda kk: _random_position(kk, params, robot_bounds, radii[r])
+        )(jax.random.split(k1, tries))
+        headings = jax.random.uniform(k2, (tries,), minval=-math.pi, maxval=math.pi)
+
+        def ok_fn(p, hd):
+            a = p + constants.ROBOT_BACKPACK_OFFSET * jnp.stack([jnp.cos(hd), jnp.sin(hd)])
+            b = p + (params.ee_locations[r] + constants.END_EFFECTOR_THICKNESS) * jnp.stack(
+                [jnp.cos(hd), jnp.sin(hd)]
+            )
+            t = jnp.linspace(0.0, 1.0, 7)
+            pts = a[None] + t[:, None] * (b - a)[None]
+            bad = jnp.any(dynamics._point_aabb_dist(pts, rects) <= dynamics.ROBOT_R)
+            bad |= jnp.any(dynamics._point_fillet_sd(pts, corners) <= dynamics.ROBOT_R)
+            # placed robots
+            for rr in range(r):
+                bad |= (
+                    jnp.min(jnp.linalg.norm(pts - robot_pos[rr][None], axis=-1))
+                    <= 2 * dynamics.ROBOT_R + float(radii[rr])
+                )
+            # cubes ("stacked on top of a cube", envs.py:670-672)
+            dc = jnp.linalg.norm(pts[:, None, :] - cube_xy[None], axis=-1)
+            bad |= jnp.any(dc <= dynamics.ROBOT_R + dynamics.CUBE_R)
+            return ~bad
+
+        ok = jax.vmap(ok_fn)(cand, headings)
+        idx = jnp.argmax(ok)
+        robot_pos = robot_pos.at[r].set(cand[idx])
+        robot_heading = robot_heading.at[r].set(headings[idx])
+
+    state = EnvState(
+        key=k_state,
+        rects=rects,
+        corners=corners,
+        robot_bounds=robot_bounds,
+        cube_bounds=cube_bounds,
+        wall_map=wall_map,
+        seg_base=seg_base,
+        robot_pos=robot_pos,
+        robot_heading=robot_heading,
+        target_pos=robot_pos,
+        target_heading=robot_heading,
+        fsm=jnp.zeros(r_n, jnp.int32),
+        awaiting=jnp.zeros(r_n, bool),
+        action=jnp.zeros((r_n, 3), jnp.int32),
+        target_ee=robot_pos,
+        waypoints=jnp.tile(robot_pos[:, None, :], (1, constants.MAX_WAYPOINTS, 1)),
+        wp_headings=jnp.zeros((r_n, constants.MAX_WAYPOINTS)),
+        num_wp=jnp.full((r_n,), 2, jnp.int32),
+        wp_index=jnp.ones((r_n,), jnp.int32),
+        prev_pos=robot_pos,
+        prev_heading=robot_heading,
+        has_prev=jnp.zeros(r_n, bool),
+        ctrl_sim_steps=jnp.zeros(r_n, jnp.int32),
+        consec_turn=jnp.zeros(r_n, jnp.int32),
+        manip_target=jnp.zeros(r_n, jnp.int32),
+        manip_steps=jnp.zeros(r_n, jnp.int32),
+        lifting=jnp.zeros(r_n, bool),
+        carried_cube=jnp.full((r_n,), -1, jnp.int32),
+        potential_cube=jnp.full((r_n,), -1, jnp.int32),
+        blocked_obstacle=jnp.zeros(r_n, bool),
+        blocked_robot=jnp.zeros(r_n, bool),
+        cubes=jnp.zeros(r_n, jnp.int32),
+        cubes_with_reward=jnp.zeros(r_n, jnp.int32),
+        step_distance=jnp.zeros(r_n),
+        prev_wp_pos=robot_pos,
+        collided_obstacle=jnp.zeros(r_n, bool),
+        collided_robot=jnp.zeros(r_n, bool),
+        pointless_drop=jnp.zeros(r_n, bool),
+        reward=jnp.zeros(r_n),
+        cube_dist_closer=jnp.zeros(r_n),
+        pr_initial=jnp.zeros((r_n, 2)),
+        pr_final=jnp.zeros((r_n, 2)),
+        pr_pending=jnp.zeros(r_n, bool),
+        push_initial_cube_pos=jnp.full((c_n, 2), BIG),
+        cum_cubes=jnp.zeros(r_n, jnp.int32),
+        cum_distance=jnp.zeros(r_n),
+        cum_reward=jnp.zeros(r_n),
+        cum_obstacle_collisions=jnp.zeros(r_n, jnp.int32),
+        cum_robot_collisions=jnp.zeros(r_n, jnp.int32),
+        cube_pos=cube_pos,
+        cube_heading=cube_heading,
+        cube_vel=jnp.zeros((c_n, 3)),
+        cube_status=jnp.zeros(c_n, jnp.int32),
+        overhead_map=jnp.zeros((r_n, h, w), jnp.uint8),
+        occupancy=jnp.zeros((r_n, h, w), bool),
+        steps=jnp.int32(0),
+        simulation_steps=jnp.int32(0),
+        inactivity_steps=jnp.int32(0),
+        done=jnp.bool_(False),
+    )
+
+    # Settle: separate any overlapping cubes (stand-in for
+    # _step_simulation_until_still, envs.py:719-745).
+    def settle(s, _):
+        return dynamics.physics_substep(params, s, jnp.bool_(True)), None
+
+    state, _ = jax.lax.scan(settle, state, None, length=8)
+    state = state.replace(simulation_steps=jnp.int32(0))
+
+    # First robot awaits an action (envs.py:211).
+    state = state.replace(awaiting=state.awaiting.at[0].set(True))
+
+    # Initial map update for every robot (envs.py:214-215).
+    state = mapper.update_robot_maps(params, state, jnp.ones(r_n, bool))
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Planning grids with a dynamic robot index
+# ---------------------------------------------------------------------------
+
+def _distinct_radii(params: EnvParams):
+    seen, out = set(), []
+    for rad in params.cspace_radii_px:
+        if rad not in seen:
+            seen.add(rad)
+            out.append(rad)
+    return tuple(out)
+
+
+def grids_for_robot(params: EnvParams, state: EnvState, r_dyn):
+    """(cspace, cspace_thin, snap_payload) for a traced robot index.
+
+    The per-type dilation radius is static, so we dilate once per *distinct*
+    radius and select (OccupancyMap configuration space, envs.py:2452-2459).
+    """
+    h, w = params.map_shape
+    occ = state.occupancy[r_dyn]
+    rmask = geometry.room_mask(h, w, params.room_length, params.room_width)
+    distinct = _distinct_radii(params)
+    cspaces = [rmask & ~raster_ops.binary_dilate_disk(occ, rad) for rad in distinct]
+    if len(distinct) == 1:
+        cspace = cspaces[0]
+    else:
+        which = jnp.asarray(
+            [_distinct_radii(params).index(rad) for rad in params.cspace_radii_px]
+        )[r_dyn]
+        cspace = jnp.select([which == k for k in range(len(distinct))], cspaces)
+    thin_r = int(math.ceil(constants.ROBOT_HALF_WIDTH * constants.LOCAL_MAP_PIXELS_PER_METER))
+    cspace_thin = ~raster_ops.binary_dilate_disk(occ & rmask, thin_r)
+    _, snap_payload = wavefront.multi_source_distance(
+        jnp.ones((h, w), bool), cspace, params.num_pass_pairs
+    )
+    return cspace, cspace_thin, snap_payload
+
+
+# ---------------------------------------------------------------------------
+# Action injection (Robot.store_new_action, envs.py:856-919)
+# ---------------------------------------------------------------------------
+
+def inject_action(params: EnvParams, state: EnvState, actions) -> EnvState:
+    """Store a new action for the (single) robot with actions[r] >= 0."""
+    h, w = params.map_shape
+    has_action = jnp.any(actions >= 0)
+    acting = jnp.argmax(actions >= 0)
+    a = jnp.maximum(actions[acting], 0)
+
+    # Unravel (channel, i, j) over (C_out, 96, 96) (envs.py:858).
+    ch = a // (N * N)
+    pi = (a // N) % N
+    pj = a % N
+
+    cur_p = state.robot_pos[acting]
+    cur_h = state.robot_heading[acting]
+
+    # Pixel -> egocentric offset -> world target (envs.py:865-868).
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    dx = ((pj.astype(jnp.float32) + 0.5) - N / 2) / ppm
+    dy = (N / 2 - (pi.astype(jnp.float32) + 0.5)) / ppm
+    dist = jnp.sqrt(dx ** 2 + dy ** 2)
+    theta = cur_h + jnp.arctan2(-dx, dy)
+    target_ee = cur_p + dist * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+
+    k = constants.MAX_WAYPOINTS
+
+    if params.use_shortest_path_movement:
+        cspace, cspace_thin, snap_payload = grids_for_robot(params, state, acting)
+        si, sj = geometry.position_to_pixel(cur_p[0], cur_p[1], h, w)
+        ti, tj = geometry.position_to_pixel(target_ee[0], target_ee[1], h, w)
+        straight = raster_ops.line_free(
+            cspace_thin, jnp.stack([si, sj]).astype(jnp.float32),
+            jnp.stack([ti, tj]).astype(jnp.float32), constants.LOS_SAMPLES,
+        )
+        wps_px, num_wp_sp, _ = paths.plan_path_pixels(
+            cspace, snap_payload, jnp.stack([si, sj]), jnp.stack([ti, tj]),
+            params.num_pass_pairs,
+        )
+        # Pixel waypoints -> world; endpoints replaced by the true positions
+        # (envs.py:2492-2503).
+        wx = ((wps_px[:, 1] + 0.5) - w / 2) / ppm
+        wy = (h / 2 - (wps_px[:, 0] + 0.5)) / ppm
+        wps_world = jnp.stack([wx, wy], axis=-1)
+        wps_world = wps_world.at[0].set(cur_p)
+        wps_world = jnp.where(
+            (jnp.arange(k) == num_wp_sp - 1)[:, None], target_ee[None], wps_world
+        )
+        # Straight-line shortcut (envs.py:2483-2485).
+        straight_wps = jnp.concatenate(
+            [cur_p[None], target_ee[None], jnp.tile(target_ee[None], (k - 2, 1))]
+        )
+        waypoints = jnp.where(straight, straight_wps, wps_world)
+        num_wp = jnp.where(straight, 2, num_wp_sp)
+    else:
+        waypoints = jnp.concatenate(
+            [cur_p[None], target_ee[None], jnp.tile(target_ee[None], (k - 2, 1))]
+        )
+        num_wp = jnp.int32(2)
+
+    # Waypoint headings (envs.py:880-884).
+    seg = waypoints[1:] - waypoints[:-1]
+    headings = jnp.arctan2(seg[:, 1], seg[:, 0])
+    wp_headings = jnp.concatenate([cur_h[None], headings])
+
+    # Offset the final waypoint from end-effector to robot center
+    # (envs.py:886-895).
+    ee_loc = jnp.asarray(params.ee_locations)[acting]
+    last = num_wp - 1
+    signed_dist = (
+        jnp.linalg.norm(waypoints[last] - waypoints[last - 1])
+        - (ee_loc + constants.CUBE_WIDTH / 2)
+    )
+    tgt_heading = wp_headings[last]
+    tgt_pos = waypoints[last - 1] + signed_dist * jnp.stack(
+        [jnp.cos(tgt_heading), jnp.sin(tgt_heading)]
+    )
+    waypoints = waypoints.at[last].set(tgt_pos)
+
+    # Avoid awkward backing up (envs.py:897-902).
+    backup = (num_wp > 2) & (signed_dist < 0)
+    prev2 = jnp.where(backup, waypoints[last], waypoints[last - 1])
+    waypoints = waypoints.at[last - 1].set(prev2)
+    seg2 = prev2 - waypoints[jnp.maximum(last - 2, 0)]
+    h2 = jnp.arctan2(seg2[1], seg2[0])
+    wp_headings = wp_headings.at[last - 1].set(
+        jnp.where(backup, h2, wp_headings[last - 1])
+    )
+
+    # Scatter per-robot fields for the acting robot.
+    def sca(arr, val):
+        return arr.at[acting].set(jnp.where(has_action, val, arr[acting]))
+
+    state = state.replace(
+        action=sca(state.action, jnp.stack([ch, pi, pj])),
+        target_ee=sca(state.target_ee, target_ee),
+        waypoints=sca(state.waypoints, waypoints),
+        wp_headings=sca(state.wp_headings, wp_headings),
+        num_wp=sca(state.num_wp, num_wp),
+        wp_index=sca(state.wp_index, jnp.int32(1)),
+        fsm=sca(state.fsm, jnp.int32(MOVING)),
+        awaiting=sca(state.awaiting, jnp.bool_(False)),
+        has_prev=sca(state.has_prev, jnp.bool_(False)),
+        ctrl_sim_steps=sca(state.ctrl_sim_steps, jnp.int32(0)),
+        consec_turn=sca(state.consec_turn, jnp.int32(0)),
+        cubes=sca(state.cubes, jnp.int32(0)),
+        cubes_with_reward=sca(state.cubes_with_reward, jnp.int32(0)),
+        step_distance=sca(state.step_distance, jnp.float32(0)),
+        prev_wp_pos=sca(state.prev_wp_pos, cur_p),
+        collided_obstacle=sca(state.collided_obstacle, jnp.bool_(False)),
+        collided_robot=sca(state.collided_robot, jnp.bool_(False)),
+        pointless_drop=sca(state.pointless_drop, jnp.bool_(False)),
+        cube_dist_closer=sca(state.cube_dist_closer, jnp.float32(0)),
+        reward=sca(state.reward, jnp.float32(0)),
+    )
+
+    # Potential cube via ray test from the target pose (envs.py:1187, 1292,
+    # 1352): gated per type.
+    for r in range(params.num_robots):
+        tname = constants.ROBOT_TYPES[params.robot_types[r]]
+        if not constants.ROBOT_HAS_HOOKS[tname]:
+            continue
+        is_acting = has_action & (acting == r)
+        if tname == "lifting_robot":
+            gate = (~state.lifting[r]) & (state.action[r, 0] == 1)
+        else:
+            gate = state.action[r, 0] == 1
+        c = dynamics.ray_test_cube(params, state, r)
+        val = jnp.where(gate, c, -1)
+        state = state.replace(
+            potential_cube=state.potential_cube.at[r].set(
+                jnp.where(is_acting, val, state.potential_cube[r])
+            )
+        )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Substep loop (VectorEnv._execute_actions, envs.py:754-765)
+# ---------------------------------------------------------------------------
+
+def run_until_idle(params: EnvParams, state: EnvState) -> EnvState:
+    """Run simulation substeps until some robot is idle, in chunks of
+    ``substep_chunk`` with map refreshes between chunks (approximating the
+    every-200-own-sim-steps refresh, envs.py:1400-1402)."""
+    chunk = params.substep_chunk
+
+    def any_idle(s):
+        return jnp.any(s.fsm == IDLE)
+
+    def cond(carry):
+        s, n = carry
+        return (~any_idle(s)) & (n < params.max_substeps) & (~s.done)
+
+    def body(carry):
+        s, n = carry
+
+        def one(s, _):
+            active = ~jnp.any(s.fsm == IDLE)
+            s = dynamics.substep(params, s, active)
+            return s, None
+
+        s, _ = jax.lax.scan(one, s, None, length=chunk)
+        # Refresh maps for robots still executing (mid-action map updates).
+        s = mapper.update_robot_maps(params, s, s.fsm != IDLE)
+        return (s, n + chunk)
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state
+
+
+def set_awaiting(state: EnvState) -> EnvState:
+    """_set_awaiting_new_action (envs.py:747-752): if nobody is awaiting,
+    mark the first idle robot."""
+    none_awaiting = ~jnp.any(state.awaiting)
+    idle = state.fsm == IDLE
+    first_idle = jnp.argmax(idle)
+    new_awaiting = state.awaiting.at[first_idle].set(
+        state.awaiting[first_idle] | (none_awaiting & jnp.any(idle))
+    )
+    return state.replace(awaiting=new_awaiting)
+
+
+# ---------------------------------------------------------------------------
+# Step-end processing
+# ---------------------------------------------------------------------------
+
+def _respawn_out_of_bounds_cubes(params: EnvParams, state: EnvState) -> EnvState:
+    """envs.py:256-261: cubes on top of / inside obstacles respawn."""
+    key, sub = jax.random.split(state.key)
+    z = state.cube_pos[:, 2]
+    bad = (state.cube_status == CUBE_AVAILABLE) & (
+        (z > constants.WALL_HEIGHT + 0.49 * constants.CUBE_WIDTH)
+        | (z < 0.4 * constants.CUBE_WIDTH)
+    )
+    tries = constants.SPAWN_REJECTION_TRIES
+
+    def respawn(k):
+        k1, k2 = jax.random.split(k)
+        cand = jax.vmap(
+            lambda kk: _random_position(kk, params, state.cube_bounds, constants.CUBE_WIDTH / 2)
+        )(jax.random.split(k1, tries))
+        ok = (
+            ~dynamics.in_receptacle(params, cand)
+            if params.has_receptacle
+            else jnp.ones(tries, bool)
+        )
+        idx = jnp.argmax(ok)
+        heading = jax.random.uniform(k2, (), minval=-math.pi, maxval=math.pi)
+        return cand[idx], heading
+
+    new_xy, new_h = jax.vmap(respawn)(jax.random.split(sub, params.num_cubes))
+    new_pos = jnp.concatenate(
+        [new_xy, jnp.full((params.num_cubes, 1), constants.CUBE_WIDTH / 2)], axis=-1
+    )
+    return state.replace(
+        key=key,
+        cube_pos=jnp.where(bad[:, None], new_pos, state.cube_pos),
+        cube_heading=jnp.where(bad, new_h, state.cube_heading),
+        cube_vel=jnp.where(bad[:, None], 0.0, state.cube_vel),
+        # Respawned cubes skip partial-reward / scoring processing this step
+        # (the reference `continue`s, envs.py:257-262).
+        push_initial_cube_pos=jnp.where(bad[:, None], BIG, state.push_initial_cube_pos),
+    )
+
+
+def perception_pass(params: EnvParams, state: EnvState):
+    """All step-boundary wavefront products in TWO vmapped sweep instances.
+
+    Returns a dict with:
+      * cspaces (R, H, W) bool — per-robot configuration spaces
+      * snaps (R, H, W) int32 — nearest-valid-cell payloads (EDT replacement)
+      * recep_imgs (R, H, W) float32 meters — receptacle distance images
+        (present iff the env has a receptacle)
+      * self_img (H, W) float32 meters — distance image seeded at the
+        awaiting robot's position on its own cspace
+    """
+    h, w = params.map_shape
+    r_n = params.num_robots
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    rmask = geometry.room_mask(h, w, params.room_length, params.room_width)
+    distinct = _distinct_radii(params)
+    dilated = {
+        rad: jax.vmap(lambda o: raster_ops.binary_dilate_disk(o, rad))(state.occupancy)
+        for rad in distinct
+    }
+    cspaces = jnp.stack(
+        [rmask & ~dilated[params.cspace_radii_px[r]][r] for r in range(r_n)]
+    )
+
+    # One vmapped snap sweep for all robots.
+    ones = jnp.ones((h, w), bool)
+    _, snaps = jax.vmap(
+        lambda cs: wavefront.multi_source_distance(ones, cs, params.num_pass_pairs)
+    )(cspaces)
+
+    # One vmapped distance sweep: R receptacle rows (if any) + 1 self row.
+    r_awaiting = jnp.argmax(state.awaiting)
+    free_rows = [cspaces] if params.has_receptacle else []
+    seed_rows = []
+    if params.has_receptacle:
+        rx, ry = params.receptacle_position
+        ri, rj = geometry.position_to_pixel(jnp.float32(rx), jnp.float32(ry), h, w)
+        si, sj = jax.vmap(lambda s: wavefront.snap_to_valid(s, ri, rj))(snaps)
+        seed_rows.append(jnp.stack([si, sj], axis=-1))
+    pos = state.robot_pos[r_awaiting]
+    pi, pj = geometry.position_to_pixel(pos[0], pos[1], h, w)
+    pi, pj = wavefront.snap_to_valid(snaps[r_awaiting], pi, pj)
+    free_rows.append(cspaces[r_awaiting][None])
+    seed_rows.append(jnp.stack([pi, pj])[None])
+
+    free_batch = jnp.concatenate(free_rows, axis=0)
+    seed_batch = jnp.concatenate(seed_rows, axis=0)
+    dists = jax.vmap(
+        lambda f, s: wavefront.distance_image(f, s[0], s[1], params.num_pass_pairs)
+    )(free_batch, seed_batch)
+    out = {"cspaces": cspaces, "snaps": snaps, "self_img": dists[-1] / ppm}
+    if params.has_receptacle:
+        out["recep_imgs"] = dists[:r_n] / ppm
+    return out
+
+
+def _dist_to_receptacle(params, img, snap, position):
+    """mapper.distance_to_receptacle (envs.py:2189-2194) for one position."""
+    h, w = params.map_shape
+    if params.use_shortest_path_partial_rewards:
+        i, j = geometry.position_to_pixel(position[..., 0], position[..., 1], h, w)
+        i, j = wavefront.snap_to_valid(snap, i, j)
+        return img[i, j]
+    rx, ry = params.receptacle_position
+    return jnp.sqrt((position[..., 0] - rx) ** 2 + (position[..., 1] - ry) ** 2)
+
+
+def step_end(params: EnvParams, state: EnvState):
+    """Cube post-processing, rewards, episode bookkeeping (envs.py:249-318).
+
+    Returns (state, recep_imgs or None) — the receptacle images are reused by
+    the observation builder.
+    """
+    state = set_awaiting(state)
+    state = _respawn_out_of_bounds_cubes(params, state)
+
+    avail = state.cube_status == CUBE_AVAILABLE
+    pushing_mask = jnp.asarray(
+        [constants.ROBOT_TYPES[t] == "pushing_robot" for t in params.robot_types]
+    )
+    cube_xy_now = state.cube_pos[:, :2]  # pre-removal positions for deltas
+
+    if params.has_receptacle:
+        # Closest robot per cube (envs.py:264-275).
+        d_rc = jnp.linalg.norm(
+            state.robot_pos[None, :, :] - cube_xy_now[:, None, :], axis=-1
+        )  # (C, R)
+        closest = jnp.argmin(d_rc, axis=1)  # (C,)
+
+        # Receptacle scoring for pushed-in cubes (envs.py:271-275); no
+        # distance images needed, so this runs before the map refresh like
+        # the reference.
+        in_recep = avail & dynamics.in_receptacle(params, cube_xy_now)
+        scorer = closest
+        score_counts = jnp.zeros(params.num_robots, jnp.int32).at[scorer].add(
+            in_recep.astype(jnp.int32)
+        )
+        reward_counts = jnp.zeros(params.num_robots, jnp.int32).at[scorer].add(
+            (in_recep & pushing_mask[scorer]).astype(jnp.int32)
+        )
+        state = state.replace(
+            cubes=state.cubes + score_counts,
+            cubes_with_reward=state.cubes_with_reward + reward_counts,
+            cube_status=jnp.where(in_recep, CUBE_REMOVED, state.cube_status),
+            cube_pos=jnp.where(
+                in_recep[:, None], jnp.array([0.0, 0.0, -1000.0]), state.cube_pos
+            ),
+        )
+
+    # Map refresh for awaiting robots (envs.py:277-280), then one perception
+    # pass shared by the partial-reward deltas and the observation.  (The
+    # reference evaluates reward deltas on the pre-refresh occupancy; since
+    # the occupancy memory is monotone and refreshed every ~200 substeps
+    # anyway, using the post-refresh map is an equivalent metric.)
+    state = mapper.update_robot_maps(params, state, state.awaiting)
+    percep = perception_pass(params, state)
+
+    if params.has_receptacle:
+        recep_imgs, snaps = percep["recep_imgs"], percep["snaps"]
+
+        # Pushing partial rewards (envs.py:1082-1087): delta of
+        # distance-to-receptacle between the step-start snapshot and now,
+        # credited to the closest robot when it's a pusher.
+        eligible = avail & (state.push_initial_cube_pos[:, 0] < BIG / 2)
+
+        def cube_delta(c):
+            r = closest[c]
+            img = recep_imgs[r]
+            snap = snaps[r]
+            d0 = _dist_to_receptacle(params, img, snap, state.push_initial_cube_pos[c])
+            d1 = _dist_to_receptacle(params, img, snap, cube_xy_now[c])
+            ok = (
+                eligible[c]
+                & pushing_mask[r]
+                & (d0 < wavefront.UNREACHABLE_THRESHOLD)
+                & (d1 < wavefront.UNREACHABLE_THRESHOLD)
+            )
+            return jnp.where(ok, d0 - d1, 0.0), r
+
+        deltas, owners = jax.vmap(cube_delta)(jnp.arange(params.num_cubes))
+        state = state.replace(
+            cube_dist_closer=state.cube_dist_closer.at[owners].add(deltas)
+        )
+
+        # Deferred lifted/thrown partial-reward pairs (envs.py:1210-1215,
+        # 1331-1335).
+        def robot_delta(r):
+            d0 = _dist_to_receptacle(params, recep_imgs[r], snaps[r], state.pr_initial[r])
+            d1 = _dist_to_receptacle(params, recep_imgs[r], snaps[r], state.pr_final[r])
+            ok = (
+                state.pr_pending[r]
+                & (d0 < wavefront.UNREACHABLE_THRESHOLD)
+                & (d1 < wavefront.UNREACHABLE_THRESHOLD)
+            )
+            return jnp.where(ok, d0 - d1, 0.0)
+
+        rdeltas = jax.vmap(robot_delta)(jnp.arange(params.num_robots))
+        state = state.replace(
+            cube_dist_closer=state.cube_dist_closer + rdeltas,
+            pr_pending=jnp.zeros_like(state.pr_pending),
+        )
+        # Robots still carrying start the next partial-reward segment at the
+        # current carried-cube position (envs.py:1215).
+        carried = jnp.maximum(state.carried_cube, 0)
+        carried_xy = state.cube_pos[carried, :2]
+        state = state.replace(
+            pr_initial=jnp.where(
+                (state.carried_cube >= 0)[:, None], carried_xy, state.pr_initial
+            )
+        )
+
+    # Episode bookkeeping (envs.py:285-294).
+    scored_any = jnp.sum(state.cubes) > 0
+    inactivity = jnp.where(scored_any, 0, state.inactivity_steps + 1)
+    all_removed = jnp.all(state.cube_status == CUBE_REMOVED)
+    done = all_removed | (inactivity >= params.inactivity_cutoff)
+    state = state.replace(
+        steps=state.steps + 1, inactivity_steps=inactivity, done=done
+    )
+
+    # Rewards for awaiting-or-done robots (envs.py:296-299, 933-955).
+    compute = state.awaiting | done
+    # done: add the final leg of distance (envs.py:940-942).
+    final_leg = jnp.linalg.norm(state.robot_pos - state.prev_wp_pos, axis=-1)
+    extra_dist = jnp.where(done & (state.fsm != IDLE), final_leg, 0.0)
+    step_distance = state.step_distance + extra_dist
+
+    partial_ok = jnp.asarray(
+        [
+            constants.ROBOT_TYPES[t] in ("pushing_robot", "lifting_robot", "throwing_robot")
+            for t in params.robot_types
+        ]
+    )
+    is_lifting = jnp.asarray(
+        [constants.ROBOT_TYPES[t] == "lifting_robot" for t in params.robot_types]
+    )
+    reward = (
+        params.success_reward * state.cubes_with_reward
+        - params.obstacle_collision_penalty * state.collided_obstacle
+        - params.robot_collision_penalty * state.collided_robot
+        + params.partial_rewards_scale * state.cube_dist_closer * partial_ok
+        - params.lifting_pointless_drop_penalty * (state.pointless_drop & is_lifting)
+    )
+
+    state = state.replace(
+        reward=jnp.where(compute, reward, state.reward),
+        step_distance=jnp.where(compute, step_distance, state.step_distance),
+        prev_wp_pos=jnp.where(compute[:, None], state.robot_pos, state.prev_wp_pos),
+        cum_cubes=state.cum_cubes + jnp.where(compute, state.cubes, 0),
+        cum_reward=state.cum_reward + jnp.where(compute, reward, 0.0),
+        cum_distance=state.cum_distance + jnp.where(compute, step_distance, 0.0),
+        cum_obstacle_collisions=state.cum_obstacle_collisions
+        + jnp.where(compute & state.collided_obstacle, 1, 0),
+        cum_robot_collisions=state.cum_robot_collisions
+        + jnp.where(compute & state.collided_robot, 1, 0),
+    )
+    return state, percep
+
+
+# ---------------------------------------------------------------------------
+# Observation
+# ---------------------------------------------------------------------------
+
+def observe(params: EnvParams, state: EnvState, percep):
+    """Observation stack for the awaiting robot (envs.py:322-323).
+
+    Returns (obs (96, 96, C), robot_index, group_index).
+    """
+    r = jnp.argmax(state.awaiting)
+    sp_recep = None
+    sp_self = None
+    if params.use_shortest_path_to_receptacle_map:
+        sp_recep = percep["recep_imgs"][r]
+    if params.use_shortest_path_map:
+        sp_self = percep["self_img"]
+    obs = mapper.build_state(params, state, r, sp_recep, sp_self)
+    groups = jnp.asarray(params.robot_groups)
+    return obs, r, groups[r]
+
+
+def observe_standalone(params: EnvParams, state: EnvState):
+    """Observation right after reset (env.reset returns get_state(),
+    envs.py:222) — computes the distance images itself."""
+    return observe(params, state, perception_pass(params, state))
+
+
+# ---------------------------------------------------------------------------
+# Full step
+# ---------------------------------------------------------------------------
+
+def step(params: EnvParams, state: EnvState, actions):
+    """One VectorEnv.step (envs.py:230-320).
+
+    actions: (R,) int32 flat action index for the awaiting robot, -1 for
+    everyone else.
+    Returns (state, obs, obs_robot, obs_group, reward (R,), done, info dict).
+    """
+    # Snapshot cube positions for pushing partial rewards (envs.py:236-240).
+    avail0 = state.cube_status == CUBE_AVAILABLE
+    state = state.replace(
+        push_initial_cube_pos=jnp.where(avail0[:, None], state.cube_pos[:, :2], BIG)
+    )
+
+    state = inject_action(params, state, actions)
+    state = run_until_idle(params, state)
+    state, percep = step_end(params, state)
+    obs, obs_robot, obs_group = observe(params, state, percep)
+
+    compute = state.awaiting | state.done
+    info = {
+        "steps": state.steps,
+        "simulation_steps": state.simulation_steps,
+        "total_cubes": jnp.sum(state.cum_cubes),
+        "total_obstacle_collisions": jnp.sum(state.cum_obstacle_collisions),
+        "total_robot_collisions": jnp.sum(state.cum_robot_collisions),
+        "cumulative_cubes": state.cum_cubes,
+        "cumulative_distance": state.cum_distance,
+        "cumulative_reward": state.cum_reward,
+        "reward_mask": compute,
+    }
+    return state, obs, obs_robot, obs_group, state.reward, state.done, info

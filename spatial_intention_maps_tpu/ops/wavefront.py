@@ -1,0 +1,187 @@
+"""Batched wavefront (chamfer-sweep) distance fields.
+
+TPU-native replacement for the reference's Cython SPFA grid graph
+(shortest_paths/shortest_paths.pyx:69-167).  The 8-connected grid metric with
+step costs {1, sqrt(2)} is exactly the fixpoint of 3x3 chamfer relaxation, so
+instead of a serial queue we run *directional sweeps*: a forward (top->bottom)
+and backward (bottom->top) pass over rows, where each row first relaxes
+against the previous row (vertical + diagonal steps) and then closes
+horizontal propagation in O(log W) with a segmented min-plus scan.  Each
+forward/backward pass pair resolves one additional vertical direction change
+of the geodesics; a handful of pairs reaches the exact fixpoint on the
+reference's room layouts (validated in tests against a BFS oracle).
+
+All functions are shape-polymorphic in leading batch dims via vmap and are
+pure jnp, so they fuse into the jitted environment step.
+
+Conventions:
+  * ``free`` — bool (H, W), True where propagation is allowed
+    (the configuration space, envs.py:2453).
+  * distances are in *pixels* (divide by LOCAL_MAP_PIXELS_PER_METER for
+    meters, envs.py:2511, 2516).
+  * unreachable cells keep a large sentinel (> H*W); callers use
+    :func:`finite_or` to reproduce SPFA's ``-1 -> max`` handling.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SQRT2 = 1.4142135623730951
+BIG = jnp.float32(1e9)
+
+
+def _seg_min(a, b):
+    """Associative operator for a segmented running-min with payload.
+
+    Elements are (m, p, r): value, payload, reset flag.  The scan result at j
+    is the min (and its payload) over elements after the last reset at or
+    before j.
+    """
+    am, ap, ar = a
+    bm, bp, br = b
+    m = jnp.where(br, bm, jnp.minimum(am, bm))
+    take_b = br | (bm <= am)
+    p = jnp.where(take_b, bp, ap)
+    r = ar | br
+    return m, p, r
+
+
+def _closure_1d(d, p, free):
+    """Horizontal min-plus closure within a row, cost 1 per step, blocked at
+    ~free cells. d, p, free: (..., W)."""
+    w = d.shape[-1]
+    iota = jnp.arange(w, dtype=d.dtype)
+    blocked = ~free
+
+    # Left-to-right: d[j] = j + min_{k<=j, no block in (k, j]} (d[k] - k)
+    v = jnp.where(free, d - iota, BIG)
+    m, pp, _ = jax.lax.associative_scan(_seg_min, (v, p, blocked), axis=v.ndim - 1)
+    d_lr = m + iota
+
+    # Right-to-left: d[j] = -j + min_{k>=j, ...} (d[k] + k)
+    v2 = jnp.where(free, d + iota, BIG)
+    m2, pp2, _ = jax.lax.associative_scan(
+        _seg_min,
+        (v2[..., ::-1], p[..., ::-1], blocked[..., ::-1]),
+        axis=v2.ndim - 1,
+    )
+    m2, pp2 = m2[..., ::-1], pp2[..., ::-1]
+    d_rl = m2 - iota
+
+    best = jnp.minimum(d, jnp.minimum(d_lr, d_rl))
+    out_p = jnp.where(d_lr <= jnp.minimum(d, d_rl), pp, jnp.where(d_rl <= d, pp2, p))
+    return jnp.where(free, best, BIG), out_p
+
+
+def _shift(x, k, fill):
+    """Shift along the last axis by k with fill (no wraparound)."""
+    if k == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (abs(k),), fill, x.dtype)
+    if k > 0:
+        return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+    return jnp.concatenate([x[..., -k:], pad], axis=-1)
+
+
+def _row_pass(dist, payload, free, reverse):
+    """One directional pass over rows (axis -2)."""
+    if reverse:
+        dist, payload, free = dist[::-1], payload[::-1], free[::-1]
+
+    def body(carry, row):
+        d_prev, p_prev = carry
+        d_cur, p_cur, f_cur = row
+        # Vertical + diagonal relaxation from the previous row.
+        cands_d = [
+            d_cur,
+            d_prev + 1.0,
+            _shift(d_prev, 1, BIG) + SQRT2,
+            _shift(d_prev, -1, BIG) + SQRT2,
+        ]
+        cands_p = [p_cur, p_prev, _shift(p_prev, 1, 0), _shift(p_prev, -1, 0)]
+        d, p = cands_d[0], cands_p[0]
+        for dd, pp in zip(cands_d[1:], cands_p[1:]):
+            take = dd < d
+            d = jnp.where(take, dd, d)
+            p = jnp.where(take, pp, p)
+        d = jnp.where(f_cur, d, BIG)
+        d, p = _closure_1d(d, p, f_cur)
+        return (d, p), (d, p)
+
+    init = (jnp.full(dist.shape[1:], BIG, dist.dtype), jnp.zeros(payload.shape[1:], payload.dtype))
+    _, (d_out, p_out) = jax.lax.scan(body, init, (dist, payload, free))
+    if reverse:
+        d_out, p_out = d_out[::-1], p_out[::-1]
+    return d_out, p_out
+
+
+@partial(jax.jit, static_argnames=("num_pass_pairs",))
+def sweep(dist, payload, free, num_pass_pairs=3):
+    """Iterate forward/backward row passes to (near-)fixpoint.
+
+    dist: (H, W) float32 seeds — 0 (or seed cost) at sources, BIG elsewhere.
+    payload: (H, W) int32 carried to the nearest source (e.g. source flat idx).
+    free: (H, W) bool propagation mask.
+    """
+    dist = jnp.where(free, dist, BIG)
+
+    def body(carry, _):
+        d, p = carry
+        d, p = _row_pass(d, p, free, reverse=False)
+        d, p = _row_pass(d, p, free, reverse=True)
+        return (d, p), None
+
+    (dist, payload), _ = jax.lax.scan(body, (dist, payload), None, length=num_pass_pairs)
+    return dist, payload
+
+
+def distance_image(free, src_i, src_j, num_pass_pairs=3):
+    """SPFA distance image from a single source (shortest_paths.pyx:165-167).
+
+    The source cell is forced free so a source sitting exactly on a blocked
+    cell (callers snap first) still propagates.
+    """
+    h, w = free.shape
+    free = free.at[src_i, src_j].set(True)
+    dist = jnp.full((h, w), BIG, jnp.float32).at[src_i, src_j].set(0.0)
+    payload = jnp.zeros((h, w), jnp.int32)
+    d, _ = sweep(dist, payload, free, num_pass_pairs)
+    return d
+
+
+def multi_source_distance(free, source_mask, num_pass_pairs=3):
+    """Distance to the nearest source cell, and that source's flat index.
+
+    With ``free=ones`` and ``source_mask=cspace`` this replaces the EDT
+    nearest-valid-configuration-space-cell lookup (envs.py:2454, 2522-2523),
+    using the chamfer metric instead of exact Euclidean.
+    """
+    h, w = free.shape
+    dist = jnp.where(source_mask, 0.0, BIG).astype(jnp.float32)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    payload = jnp.where(source_mask, idx, 0)
+    return sweep(dist, payload, free, num_pass_pairs)
+
+
+def snap_to_valid(snap_payload, i, j):
+    """Map a (possibly invalid) cell to its nearest valid cell using the
+    payload image from :func:`multi_source_distance`."""
+    w = snap_payload.shape[1]
+    flat = snap_payload[i, j]
+    return flat // w, flat % w
+
+
+UNREACHABLE_THRESHOLD = 1e6  # works for pixel- and meter-scaled images
+
+
+def finite_or(dist, fill=None):
+    """Replace unreachable sentinels with ``fill`` (default: the max finite
+    value), reproducing ``global_map[global_map < 0] = global_map.max()``
+    (envs.py:2290, 2297)."""
+    reachable = dist < UNREACHABLE_THRESHOLD
+    if fill is None:
+        fill = jnp.max(jnp.where(reachable, dist, -BIG))
+        fill = jnp.maximum(fill, 0.0)
+    return jnp.where(reachable, dist, fill)

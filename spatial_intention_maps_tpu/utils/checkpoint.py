@@ -1,0 +1,81 @@
+"""Checkpoint / resume (train.py:309-346 equivalents) via orbax.
+
+Two artifacts per save like the reference: ``policy_<t>`` (network variables
+per group, + intention nets) and ``checkpoint_<t>`` (timestep, episode,
+optimizer states, replay buffers).  Old full checkpoints are pruned
+(train.py:343-346).
+"""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _save_tree(path: Path, tree):
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path.resolve(), jax.tree.map(np.asarray, tree))
+
+
+def _load_tree(path: Path, target=None):
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(Path(path).resolve(), item=target)
+
+
+def save_checkpoint(checkpoint_dir, timestep, trainer, prune=True):
+    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    policy_tree = {
+        "timestep": timestep,
+        "variables": [ts.variables for ts in trainer.train_states],
+        "target_variables": [ts.target_variables for ts in trainer.train_states],
+    }
+    if trainer.policy.use_predicted_intention:
+        policy_tree["intention_variables"] = [
+            ts.intention_variables for ts in trainer.train_states
+        ]
+    _save_tree(checkpoint_dir / f"policy_{timestep:08d}", policy_tree)
+
+    full_tree = {
+        "timestep": timestep,
+        "episode": trainer.episode,
+        "opt_states": [ts.opt_state for ts in trainer.train_states],
+        "buffers": trainer.buffers,
+    }
+    _save_tree(checkpoint_dir / f"checkpoint_{timestep:08d}", full_tree)
+
+    if prune:
+        kept = f"checkpoint_{timestep:08d}"
+        for p in checkpoint_dir.glob("checkpoint_*"):
+            if p.name != kept and p.is_dir():
+                import shutil
+
+                shutil.rmtree(p)
+
+
+def load_policy(policy_path, trainer=None):
+    tree = _load_tree(policy_path)
+    if trainer is not None:
+        for g, ts in enumerate(trainer.train_states):
+            trainer.train_states[g] = ts.replace(
+                variables=tree["variables"][g],
+                target_variables=tree["target_variables"][g],
+                intention_variables=(
+                    tree.get("intention_variables", [None] * len(trainer.train_states))[g]
+                ),
+            )
+    return tree
+
+
+def load_checkpoint(checkpoint_path, trainer):
+    tree = _load_tree(checkpoint_path)
+    trainer.timestep = int(tree["timestep"])
+    trainer.episode = int(tree["episode"])
+    for g, ts in enumerate(trainer.train_states):
+        trainer.train_states[g] = ts.replace(opt_state=tree["opt_states"][g])
+    # Buffers restore as raw arrays; rewrap.
+    for g, buf in enumerate(tree["buffers"]):
+        trainer.buffers[g] = trainer.buffers[g].replace(**buf)
+    return tree

@@ -1,0 +1,89 @@
+"""Model parity / training-machinery tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_intention_maps_tpu.models import FCN
+from spatial_intention_maps_tpu.models.fcn import upsample2x_align_corners
+from spatial_intention_maps_tpu.replay import ReplayBuffer
+from spatial_intention_maps_tpu.train import dqn
+
+
+def test_upsample_matches_torch_align_corners():
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(0).rand(2, 12, 12, 3).astype(np.float32)
+    got = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    exp = F.interpolate(t, scale_factor=2, mode="bilinear", align_corners=True)
+    exp = exp.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_fcn_shapes():
+    model = FCN(num_output_channels=2)
+    x = jnp.zeros((1, 96, 96, 4))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 96, 96, 2)
+    # Parameter count matches ResNet18(stride-4)+FCN head:
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    # Reference torch model has ~11.2M params for 4-in/2-out.
+    assert 10_500_000 < n_params < 12_000_000, n_params
+
+
+def test_replay_ring():
+    buf = ReplayBuffer.create(8, 2, dtype=jnp.float32)
+    s = jnp.arange(5, dtype=jnp.float32)[:, None, None, None] * jnp.ones((5, 96, 96, 2))
+    a = jnp.arange(5, dtype=jnp.int32)
+    r = jnp.arange(5, dtype=jnp.float32)
+    mask = jnp.array([True, True, False, True, True])
+    buf = buf.push(s, a, r, s, jnp.ones(5, bool), mask)
+    assert int(buf.size) == 4
+    assert int(buf.position) == 4
+    # Stored rows are the masked-in ones, in order.
+    np.testing.assert_array_equal(np.asarray(buf.actions[:4]), [0, 1, 3, 4])
+    # Wrap-around
+    buf = buf.push(s, a, r, s, jnp.ones(5, bool), jnp.ones(5, bool))
+    assert int(buf.size) == 8
+    assert int(buf.position) == 1
+    batch = buf.sample(jax.random.PRNGKey(0), 6)
+    assert batch["state"].shape == (6, 96, 96, 2)
+
+
+def test_dqn_update_runs_and_learns():
+    model = FCN(num_output_channels=1)
+    x = jnp.zeros((1, 96, 96, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    opt = dqn.make_optimizer(0.01, 1e-4, 100)
+    ts = dqn.create_train_state(model, variables, opt)
+
+    key = jax.random.PRNGKey(1)
+    batch = dict(
+        state=jax.random.uniform(key, (4, 96, 96, 2)),
+        action=jnp.array([0, 5, 100, 9215], jnp.int32),
+        reward=jnp.array([1.0, 0.0, -1.0, 0.5]),
+        next_state=jax.random.uniform(key, (4, 96, 96, 2)),
+        has_next=jnp.array([True, True, False, True]),
+    )
+    update = jax.jit(
+        lambda ts, b: dqn.dqn_update(model, opt, ts, b, 0.75, use_double_dqn=True)
+    )
+    ts1, info1 = update(ts, batch)
+    assert np.isfinite(float(info1["loss"]))
+    # Parameters changed
+    p0 = jax.tree.leaves(ts.variables["params"])[0]
+    p1 = jax.tree.leaves(ts1.variables["params"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # Loss decreases over a few updates on the same batch
+    tsn, info_n = ts1, info1
+    for _ in range(5):
+        tsn, info_n = update(tsn, batch)
+    assert float(info_n["loss"]) < float(info1["loss"])
+    # Target sync copies params
+    tsn = dqn.sync_target(tsn)
+    t0 = jax.tree.leaves(tsn.target_variables["params"])[0]
+    pn = jax.tree.leaves(tsn.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(pn))

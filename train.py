@@ -1,0 +1,84 @@
+"""Train a spatial-intention-maps DQN on TPU.
+
+Equivalent of the reference's train.py / train_multiprocess.py combined: the
+multiprocess actor pool is a batch axis on device, and the learner runs in
+the same program.
+
+Usage:
+    python train.py --config-path configs/experiments/base/lifting_1-small_empty-base.yml
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from spatial_intention_maps_tpu import config as config_mod
+from spatial_intention_maps_tpu import factory
+from spatial_intention_maps_tpu.train.loop import Trainer
+from spatial_intention_maps_tpu.utils.checkpoint import save_checkpoint
+from spatial_intention_maps_tpu.utils.logging_utils import MetricLogger
+
+
+def main(cfg):
+    log_dir = Path(cfg.log_dir)
+    checkpoint_dir = Path(cfg.checkpoint_dir)
+    print("log_dir: {}".format(log_dir))
+    print("checkpoint_dir: {}".format(checkpoint_dir))
+
+    overrides = {}
+    if cfg.get("use_predicted_intention"):
+        # Ground-truth intention channel during training (train.py:177-180).
+        overrides["use_intention_map"] = True
+        overrides["intention_map_encoding"] = "ramp"
+    env_params = factory.env_params_from_cfg(cfg, **overrides)
+
+    trainer = Trainer(
+        cfg, env_params,
+        num_envs=cfg.get("num_parallel_envs", 32),
+        seed=cfg.get("random_seed") or 0,
+    )
+    logger = MetricLogger(log_dir)
+
+    ckpt_every = cfg.checkpoint_freq
+    next_ckpt = ckpt_every
+
+    def log_fn(timestep, metrics, info, done):
+        nonlocal next_ckpt
+        logger.log(timestep, metrics)
+        d = np.asarray(done)
+        if d.any():
+            logger.log(
+                timestep,
+                {
+                    "episode/total_cubes": float(
+                        np.mean(np.asarray(info["total_cubes"])[d])
+                    ),
+                    "episode/steps": float(np.mean(np.asarray(info["steps"])[d])),
+                },
+            )
+        if timestep >= next_ckpt:
+            save_checkpoint(checkpoint_dir, timestep, trainer)
+            cfg.policy_path = str(checkpoint_dir / f"policy_{timestep:08d}")
+            cfg.checkpoint_path = str(checkpoint_dir / f"checkpoint_{timestep:08d}")
+            config_mod.save_config(log_dir / "config.yml", cfg)
+            next_ckpt += ckpt_every
+
+    trainer.run(log_fn=log_fn)
+    save_checkpoint(checkpoint_dir, trainer.timestep, trainer)
+    logger.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-path")
+    args = parser.parse_args()
+    config_path = args.config_path
+    if config_path is None:
+        config_path = config_mod.select_run()
+    if config_path is None:
+        print("no config found; pass --config-path")
+        sys.exit(1)
+    config_path = config_mod.setup_run(config_path)
+    main(config_mod.load_config(config_path))
