@@ -1,13 +1,14 @@
-"""Benchmark: aggregate environment steps/sec, batched on one chip.
+"""Benchmark: aggregate environment steps/sec (batched, fused loop, one chip).
 
 Prints ONE JSON line:
   {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
    "vs_baseline": N}
 
 Config: lifting_4-small_divider with the intention map (the paper's flagship
-"ours" configuration).  The baseline denominator is the BASELINE.json north
-star scaled to one chip: 100k aggregate env steps/sec on v5e-8 => 12.5k per
-chip.
+"ours" configuration), driven by the fused substep-budget loop with random
+actions.  One "env step" = one robot action served (the reference's timestep
+unit).  The baseline denominator is the BASELINE.json north star scaled to
+one chip: 100k aggregate env steps/sec on v5e-8 => 12.5k per chip.
 """
 
 import json
@@ -18,19 +19,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from spatial_intention_maps_tpu.envs.types import EnvParams
-from spatial_intention_maps_tpu.envs.vector_env import BatchedEnv
-from spatial_intention_maps_tpu.policies import action_space_size
+from spatial_intention_maps_tpu.train.fused import FusedLoop
 
 BASELINE_PER_CHIP = 12_500.0
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "64"))
-    num_steps = int(os.environ.get("BENCH_NUM_STEPS", "6"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "256"))
+    num_rounds = int(os.environ.get("BENCH_NUM_ROUNDS", "40"))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", "64"))
 
     params = EnvParams.from_robot_config(
         [{"lifting_robot": 4}],
@@ -41,35 +40,29 @@ def main():
         use_intention_map=True,
         intention_map_encoding="ramp",
     )
-    env = BatchedEnv(params, num_envs)
+    loop = FusedLoop(
+        params,
+        num_envs=num_envs,
+        num_channels=params.num_state_channels,
+        substeps_per_round=substeps,
+    )
+    ls = loop.init(jax.random.PRNGKey(0))
+    jax.block_until_ready(ls.env.robot_pos)
 
-    key = jax.random.PRNGKey(0)
-    state, obs, obs_robot, obs_group = env.reset(key)
-    jax.block_until_ready(obs)
+    # Warmup / compile + let the env mix of action phases reach steady state.
+    for _ in range(3):
+        ls, _, m = loop.round(ls)
+    jax.block_until_ready(ls.env.robot_pos)
 
-    space = action_space_size(2)
-    benv = jnp.arange(num_envs)
-
-    def random_actions(key, obs_robot):
-        a = jax.random.randint(key, (num_envs,), 0, space)
-        out = jnp.full((num_envs, params.num_robots), -1, jnp.int32)
-        return out.at[benv, obs_robot].set(a)
-
-    # Warmup / compile.
-    key, k = jax.random.split(key)
-    out = env.step(state, random_actions(k, obs_robot))
-    jax.block_until_ready(out[1])
-    state, obs_robot = out[0], out[2]
-
+    served = 0
     t0 = time.time()
-    for _ in range(num_steps):
-        key, k = jax.random.split(key)
-        out = env.step(state, random_actions(k, obs_robot))
-        state, obs_robot = out[0], out[2]
-    jax.block_until_ready(out[1])
+    for _ in range(num_rounds):
+        ls, _, m = loop.round(ls)
+        served += int(m["served"])
+    jax.block_until_ready(ls.env.robot_pos)
     elapsed = time.time() - t0
 
-    steps_per_sec = num_envs * num_steps / elapsed
+    steps_per_sec = served / elapsed
     print(
         json.dumps(
             {

@@ -1,4 +1,4 @@
-"""Kinematic physics substep + controller FSM.
+"""Kinematic physics substep + controller FSM, fully vectorized over robots.
 
 TPU-native replacement for the PyBullet hot loop (SURVEY N2).  The reference
 drags robots with a fixed-constraint pose servo (envs.py:820, 985, 1459-1461)
@@ -16,8 +16,10 @@ step (envs.py:1369-1370 comments), so exact-parity dynamics are *kinematic*:
 The controller FSM reproduces RobotController.step (envs.py:1394-1502):
 turn-then-drive toward the current waypoint, stall/oscillation detection,
 collision gating, waypoint advance, and the per-type manipulation dispatch
-(lift/drop/throw/rescue).  Robots are processed in index order for grab
-conflicts, like the reference's sequential robot list (envs.py:762-763).
+(lift/drop/throw/rescue).  Everything is masked vector math over the robot
+axis; the only ordering the reference's sequential robot loop
+(envs.py:762-763) can expose is two robots grabbing the same cube in the same
+substep, resolved here by lowest-robot-index priority.
 """
 
 import math
@@ -41,7 +43,8 @@ from .types import (
 
 ROBOT_R = constants.ROBOT_HALF_WIDTH        # capsule radius
 CUBE_R = constants.CUBE_WIDTH / 2           # cube contact disc radius
-_N_AXIS_SAMPLES = 7                          # capsule-axis samples for wall tests
+_N_AXIS_SAMPLES = 7                          # capsule-axis samples
+_REMOVED_POS = jnp.array([0.0, 0.0, -1000.0])
 
 
 def heading_diff(h1, h2):
@@ -51,6 +54,18 @@ def heading_diff(h1, h2):
 
 def _dir(h):
     return jnp.stack([jnp.cos(h), jnp.sin(h)], axis=-1)
+
+
+def _type_masks(params: EnvParams):
+    names = [constants.ROBOT_TYPES[t] for t in params.robot_types]
+    m = lambda n: jnp.asarray([x == n for x in names])
+    return {
+        "lifting": m("lifting_robot"),
+        "pushing": m("pushing_robot"),
+        "throwing": m("throwing_robot"),
+        "rescue": m("rescue_robot"),
+        "hooks": jnp.asarray([constants.ROBOT_HAS_HOOKS[x] for x in names]),
+    }
 
 
 def capsule_endpoints(params: EnvParams, pos, heading):
@@ -65,18 +80,24 @@ def capsule_endpoints(params: EnvParams, pos, heading):
     return a, b
 
 
+def _capsule_points(params, pos, heading):
+    a, b = capsule_endpoints(params, pos, heading)
+    t = jnp.linspace(0.0, 1.0, _N_AXIS_SAMPLES)
+    return a[:, None, :] + t[None, :, None] * (b - a)[:, None, :]  # (R, S, 2)
+
+
 def _point_aabb_dist(p, rects):
-    """Distance from points p (..., 2) to each AABB (N, 4) -> (..., N)."""
+    """Signed distance from points p (..., 2) to each AABB (N, 4) -> (..., N)."""
     dx = jnp.abs(p[..., None, 0] - rects[:, 0]) - rects[:, 2]
     dy = jnp.abs(p[..., None, 1] - rects[:, 1]) - rects[:, 3]
     outside = jnp.sqrt(jnp.maximum(dx, 0.0) ** 2 + jnp.maximum(dy, 0.0) ** 2)
     inside = jnp.minimum(jnp.maximum(dx, dy), 0.0)
-    return outside + inside  # signed distance
+    return outside + inside
 
 
 def _point_fillet_sd(p, corners):
     """Signed-distance approximation to each rounded-corner fillet
-    (intersection SDF of the fillet square and disc complement)."""
+    (intersection SDF of the fillet square and the disc complement)."""
     if corners.shape[0] == 0:
         return jnp.full(p.shape[:-1] + (0,), jnp.inf)
     w = constants.ROUNDED_CORNER_WIDTH
@@ -90,62 +111,41 @@ def _point_fillet_sd(p, corners):
     ch, sh = jnp.cos(h), jnp.sin(h)
     lx = ch * dx + sh * dy
     ly = -sh * dx + ch * dy
-    # SDF of the square [0,w] x [-w,0]
     qx = jnp.abs(lx - w / 2) - w / 2
     qy = jnp.abs(ly + w / 2) - w / 2
     sd_sq = jnp.sqrt(jnp.maximum(qx, 0) ** 2 + jnp.maximum(qy, 0) ** 2) + jnp.minimum(
         jnp.maximum(qx, qy), 0.0
     )
-    # SDF of disc complement: w - |p - c|
     dcx = p[..., None, 0] - ccx
     dcy = p[..., None, 1] - ccy
     sd_dc = w - jnp.sqrt(dcx ** 2 + dcy ** 2)
     return jnp.maximum(sd_sq, sd_dc)
 
 
-def robot_hits_walls(params: EnvParams, state: EnvState, pos, heading, margin=0.0):
-    """(R,) bool: does each robot's capsule overlap any wall rect / fillet?"""
-    a, b = capsule_endpoints(params, pos, heading)
-    t = jnp.linspace(0.0, 1.0, _N_AXIS_SAMPLES)
-    pts = a[:, None, :] + t[None, :, None] * (b - a)[:, None, :]  # (R, S, 2)
-    sd_r = _point_aabb_dist(pts, state.rects)       # (R, S, N)
-    hit = jnp.any(sd_r <= ROBOT_R + margin, axis=(1, 2))
-    sd_c = _point_fillet_sd(pts, state.corners)
-    hit |= jnp.any(sd_c <= ROBOT_R + margin, axis=(1, 2))
+def robot_hits_walls(params: EnvParams, state: EnvState, pos, heading):
+    """(R,) bool: capsule overlap with any wall rect / corner fillet."""
+    pts = _capsule_points(params, pos, heading)  # (R, S, 2)
+    hit = jnp.any(_point_aabb_dist(pts, state.rects) <= ROBOT_R, axis=(1, 2))
+    hit |= jnp.any(_point_fillet_sd(pts, state.corners) <= ROBOT_R, axis=(1, 2))
     return hit
 
 
-def _seg_seg_dist(a0, a1, b0, b1):
-    """Min distance between two 2D segments (sampled; segments are ~6 cm)."""
-    t = jnp.linspace(0.0, 1.0, _N_AXIS_SAMPLES)
-    pa = a0[None] + t[:, None] * (a1 - a0)[None]
-    pb = b0[None] + t[:, None] * (b1 - b0)[None]
-    d = jnp.linalg.norm(pa[:, None, :] - pb[None, :, :], axis=-1)
-    return jnp.min(d)
-
-
 def robot_robot_hits(params: EnvParams, state: EnvState, pos, heading):
-    """(R, R) bool symmetric: capsule-capsule overlap, plus other robots'
-    carried cubes (carried cubes join the robot collision set,
-    envs.py:1222-1223)."""
+    """(R, R) bool: capsule-capsule overlap (i hits j), plus robot j's
+    carried cube vs robot i's capsule (carried cubes join the robot
+    collision set, envs.py:1222-1223)."""
     r_n = params.num_robots
-    a, b = capsule_endpoints(params, pos, heading)
-    hits = jnp.zeros((r_n, r_n), bool)
-    for i in range(r_n):
-        for j in range(r_n):
-            if i == j:
-                continue
-            d = _seg_seg_dist(a[i], b[i], a[j], b[j])
-            hit = d <= 2 * ROBOT_R
-            # carried cube of robot j vs capsule of robot i
-            cj = state.carried_cube[j]
-            has_cube = cj >= 0
-            cube_p = state.cube_pos[jnp.maximum(cj, 0), :2]
-            t = jnp.linspace(0.0, 1.0, _N_AXIS_SAMPLES)
-            pts = a[i][None] + t[:, None] * (b[i] - a[i])[None]
-            dcube = jnp.min(jnp.linalg.norm(pts - cube_p[None], axis=-1))
-            hit |= has_cube & (dcube <= ROBOT_R + CUBE_R)
-            hits = hits.at[i, j].set(hit)
+    pts = _capsule_points(params, pos, heading)  # (R, S, 2)
+    d = jnp.linalg.norm(
+        pts[:, None, :, None, :] - pts[None, :, None, :, :], axis=-1
+    )  # (R, R, S, S)
+    hits = jnp.min(d, axis=(2, 3)) <= 2 * ROBOT_R
+    carried = state.carried_cube
+    has = carried >= 0
+    cube_p = state.cube_pos[jnp.maximum(carried, 0), :2]  # (R, 2)
+    dc = jnp.linalg.norm(pts[:, None, :, :] - cube_p[None, :, None, :], axis=-1)
+    hits |= has[None, :] & (jnp.min(dc, axis=2) <= ROBOT_R + CUBE_R)
+    hits &= ~jnp.eye(r_n, dtype=bool)
     return hits
 
 
@@ -156,20 +156,20 @@ def robot_robot_hits(params: EnvParams, state: EnvState, pos, heading):
 def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
     """One p.stepSimulation() equivalent (envs.py:332-335), gated by
     ``active`` (scalar bool: env still executing actions this step)."""
-    r_n = params.num_robots
+    c_n = params.num_cubes
 
     # --- Robot servo motion toward (target_pos, target_heading) ---
     delta = state.target_pos - state.robot_pos
     dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
     step = jnp.minimum(dist, constants.DRIVE_SPEED_PER_SIM_STEP)
-    new_pos = state.robot_pos + jnp.where(dist > 1e-9, delta / jnp.maximum(dist, 1e-9) * step, 0.0)
-
+    new_pos = state.robot_pos + jnp.where(
+        dist > 1e-9, delta / jnp.maximum(dist, 1e-9) * step, 0.0
+    )
     hd = heading_diff(state.robot_heading, state.target_heading)
     turn = jnp.clip(hd, -constants.TURN_SPEED_PER_SIM_STEP, constants.TURN_SPEED_PER_SIM_STEP)
     new_heading = state.robot_heading + turn
 
-    # Block translation on obstacle / robot overlap (constraint maxForce can't
-    # push through; contact is what check_for_collisions would report).
+    # Block translation on obstacle / robot overlap.
     wall_hit = robot_hits_walls(params, state, new_pos, new_heading)
     rr_hits = robot_robot_hits(params, state, new_pos, new_heading)
     robot_hit = jnp.any(rr_hits, axis=1)
@@ -187,18 +187,17 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
     # --- Cube dynamics ---
     cube_pos = state.cube_pos
     cube_vel = state.cube_vel
+    cube_heading = state.cube_heading
     avail = state.cube_status == CUBE_AVAILABLE
 
     # 1) Robots push available cubes (disc vs capsule projection).
-    a, b = capsule_endpoints(params, new_pos, new_heading)
+    axis_pts = _capsule_points(params, new_pos, new_heading)  # (R, S, 2)
     p2 = cube_pos[:, :2]
-    t = jnp.linspace(0.0, 1.0, _N_AXIS_SAMPLES)
-    axis_pts = a[:, None, :] + t[None, :, None] * (b - a)[:, None, :]   # (R, S, 2)
-    dvec = p2[:, None, None, :] - axis_pts[None]                        # (C, R, S, 2)
-    dd = jnp.linalg.norm(dvec, axis=-1)                                 # (C, R, S)
-    k = jnp.argmin(dd.reshape(dd.shape[0], -1), axis=1)                 # closest axis pt
-    dmin = jnp.min(dd.reshape(dd.shape[0], -1), axis=1)
-    closest_vec = dvec.reshape(dd.shape[0], -1, 2)[jnp.arange(p2.shape[0]), k]
+    dvec = p2[:, None, None, :] - axis_pts[None]              # (C, R, S, 2)
+    dd = jnp.linalg.norm(dvec, axis=-1)                        # (C, R, S)
+    k = jnp.argmin(dd.reshape(c_n, -1), axis=1)
+    dmin = jnp.min(dd.reshape(c_n, -1), axis=1)
+    closest_vec = dvec.reshape(c_n, -1, 2)[jnp.arange(c_n), k]
     pen = (ROBOT_R + CUBE_R) - dmin
     push_dir = closest_vec / jnp.maximum(dmin, 1e-9)[:, None]
     do_push = (pen > 0) & avail & active
@@ -207,56 +206,58 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
     # 2) Cube-cube separation (both available).
     diff = p2[:, None, :] - p2[None, :, :]
     dc = jnp.linalg.norm(diff, axis=-1)
-    pair_ok = avail[:, None] & avail[None, :] & ~jnp.eye(p2.shape[0], dtype=bool)
+    pair_ok = avail[:, None] & avail[None, :] & ~jnp.eye(c_n, dtype=bool)
     pen_cc = jnp.maximum(2 * CUBE_R * 0.9 - dc, 0.0) * pair_ok
     dir_cc = diff / jnp.maximum(dc, 1e-9)[..., None]
     p2 = p2 + jnp.where(active, 0.5, 0.0) * jnp.sum(pen_cc[..., None] * dir_cc, axis=1)
 
-    # 3) Project cubes out of walls.
-    sd_walls = _point_aabb_dist(p2, state.rects)            # (C, N)
+    # 3) Project cubes out of walls (dominant-axis AABB gradient).
+    sd_walls = _point_aabb_dist(p2, state.rects)
     nearest = jnp.argmin(sd_walls, axis=1)
     sd_min = jnp.min(sd_walls, axis=1)
     pen_w = jnp.maximum(CUBE_R - sd_min, 0.0)
-    # Gradient of AABB signed distance: push along the dominant axis.
     rect = state.rects[nearest]
     ddx = p2[:, 0] - rect[:, 0]
     ddy = p2[:, 1] - rect[:, 1]
     ox = jnp.abs(ddx) - rect[:, 2]
     oy = jnp.abs(ddy) - rect[:, 3]
-    push_x = jnp.where(ox >= oy, jnp.sign(ddx), 0.0)
-    push_y = jnp.where(oy > ox, jnp.sign(ddy), 0.0)
-    grad = jnp.stack([push_x, push_y], axis=-1)
+    grad = jnp.stack(
+        [jnp.where(ox >= oy, jnp.sign(ddx), 0.0), jnp.where(oy > ox, jnp.sign(ddy), 0.0)],
+        axis=-1,
+    )
     p2 = p2 + jnp.where((avail & active & (pen_w > 0))[:, None], grad * pen_w[:, None], 0.0)
-    # Fillets: push toward the arc center.
+    # Fillets: push toward the arc center (the only exit direction).
     if state.corners.shape[0] > 0:
         sd_f = _point_fillet_sd(p2, state.corners)
         nf = jnp.argmin(sd_f, axis=1)
-        sdf_min = jnp.min(sd_f, axis=1)
-        pen_f = jnp.maximum(CUBE_R - sdf_min, 0.0)
+        pen_f = jnp.maximum(CUBE_R - jnp.min(sd_f, axis=1), 0.0)
         w = constants.ROUNDED_CORNER_WIDTH
         off = w / math.sqrt(2)
         cn = state.corners[nf]
         axp = cn[:, 0] - off * jnp.cos(cn[:, 2] - math.radians(45))
         ayp = cn[:, 1] - off * jnp.sin(cn[:, 2] - math.radians(45))
-        ccx, ccy = 2 * cn[:, 0] - axp, 2 * cn[:, 1] - ayp
-        to_c = jnp.stack([ccx, ccy], axis=-1) - p2
+        to_c = jnp.stack([2 * cn[:, 0] - axp, 2 * cn[:, 1] - ayp], axis=-1) - p2
         to_c = to_c / jnp.maximum(jnp.linalg.norm(to_c, axis=-1, keepdims=True), 1e-9)
-        p2 = p2 + jnp.where((avail & active & (pen_f > 0))[:, None], to_c * pen_f[:, None], 0.0)
+        p2 = p2 + jnp.where(
+            (avail & active & (pen_f > 0))[:, None], to_c * pen_f[:, None], 0.0
+        )
 
     cube_pos = cube_pos.at[:, :2].set(jnp.where(avail[:, None], p2, cube_pos[:, :2]))
 
     # 4) Carried cubes ride at the hook offset (envs.py:1268-1276).
-    for r in range(r_n):
-        c = state.carried_cube[r]
-        has = c >= 0
-        ci = jnp.maximum(c, 0)
-        ee = params.ee_locations[r]
-        offset = ee + constants.LIFTED_CUBE_OFFSET + CUBE_R
-        cp = jnp.concatenate([
-            new_pos[r] + offset * _dir(new_heading[r]),
-            jnp.array([constants.LIFTED_CUBE_HEIGHT + CUBE_R]),
-        ])
-        cube_pos = cube_pos.at[ci].set(jnp.where(has & active, cp, cube_pos[ci]))
+    carried = state.carried_cube
+    has_carry = (carried >= 0) & active
+    c_idx = jnp.where(has_carry, carried, c_n)  # out-of-range rows dropped
+    offset = jnp.asarray(params.ee_locations) + constants.LIFTED_CUBE_OFFSET + CUBE_R
+    cp = jnp.concatenate(
+        [
+            new_pos + offset[:, None] * _dir(new_heading),
+            jnp.full((params.num_robots, 1), constants.LIFTED_CUBE_HEIGHT + CUBE_R),
+        ],
+        axis=-1,
+    )
+    cube_pos = cube_pos.at[c_idx].set(cp, mode="drop")
+    cube_heading = cube_heading.at[c_idx].set(new_heading, mode="drop")
 
     # 5) Ballistic integration for thrown cubes (envs.py:1314-1329).
     thrown = (state.cube_status == CUBE_THROWN) & active
@@ -265,16 +266,13 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
         thrown[:, None], jnp.array([0.0, 0.0, -constants.GRAVITY * dt]), 0.0
     )
     pos3 = cube_pos + jnp.where(thrown[:, None], vel * dt, 0.0)
-    # Ground / obstacle-top contact: rest height depends on the cell below.
     h, w = params.map_shape
     gi, gj = geometry.position_to_pixel(pos3[:, 0], pos3[:, 1], h, w)
     on_wall = state.wall_map[gi, gj]
     rest_z = jnp.where(on_wall, constants.WALL_HEIGHT + CUBE_R, CUBE_R)
     landed = thrown & (pos3[:, 2] <= rest_z) & (vel[:, 2] < 0)
     pos3 = pos3.at[:, 2].set(jnp.where(landed, rest_z, pos3[:, 2]))
-    vel = jnp.where(
-        landed[:, None], vel * jnp.array([0.3, 0.3, 0.0]), vel
-    )  # friction kills slide quickly
+    vel = jnp.where(landed[:, None], vel * jnp.array([0.3, 0.3, 0.0]), vel)
     cube_pos = jnp.where(thrown[:, None], pos3, cube_pos)
     cube_vel = jnp.where(thrown[:, None], vel, cube_vel)
 
@@ -285,434 +283,332 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
         blocked_robot=blocked_robot,
         cube_pos=cube_pos,
         cube_vel=cube_vel,
+        cube_heading=cube_heading,
         simulation_steps=state.simulation_steps + jnp.where(active, 1, 0),
     )
 
 
 # ---------------------------------------------------------------------------
-# Ray test (RobotWithHooks.ray_test_cube, envs.py:1110-1126)
+# Ray test (RobotWithHooks.ray_test_cube, envs.py:1110-1126), all robots
 # ---------------------------------------------------------------------------
 
-def ray_test_cube(params: EnvParams, state: EnvState, r):
-    """First body hit by a CUBE_WIDTH-long ray from the target end-effector
-    position along the target heading; returns cube index or -1."""
-    k = state.num_wp[r] - 1
-    tgt = state.waypoints[r, k]
-    th = state.wp_headings[r, k]
-    ee = params.ee_locations[r]
+def ray_test_cubes_all(params: EnvParams, state: EnvState):
+    """(R,) int32: first available cube hit by each robot's CUBE_WIDTH-long
+    end-effector ray from the TARGET pose (waypoints[-1], wp_headings[-1]),
+    -1 if none (or a wall is hit first)."""
+    r_n, c_n = params.num_robots, params.num_cubes
+    ridx = jnp.arange(r_n)
+    last = state.num_wp - 1
+    tgt = state.waypoints[ridx, last]       # (R, 2)
+    th = state.wp_headings[ridx, last]      # (R,)
+    ee = jnp.asarray(params.ee_locations)
     d = _dir(th)
-    p0 = tgt + ee * d
+    p0 = tgt + ee[:, None] * d
     p1 = p0 + constants.END_EFFECTOR_DIST_THRESHOLD * d
 
-    # Cube hits: segment vs axis-aligned square in each cube's frame.
-    def cube_t(c):
-        cp = state.cube_pos[c, :2]
-        chd = state.cube_heading[c]
-        ch, sh = jnp.cos(chd), jnp.sin(chd)
-        rot = jnp.array([[ch, sh], [-sh, ch]])
-        q0 = rot @ (p0 - cp)
-        q1 = rot @ (p1 - cp)
-        dq = q1 - q0
-        half = CUBE_R
-        # slab test
-        inv = 1.0 / jnp.where(jnp.abs(dq) < 1e-12, 1e-12, dq)
-        t0 = (-half - q0) * inv
-        t1 = (half - q0) * inv
-        tmin = jnp.max(jnp.minimum(t0, t1))
-        tmax = jnp.min(jnp.maximum(t0, t1))
-        valid = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0)
-        t_hit = jnp.where(tmin >= 0.0, tmin, 0.0)
-        avail = state.cube_status[c] == CUBE_AVAILABLE
-        return jnp.where(valid & avail, t_hit, jnp.inf)
+    # Slab test of each ray against each cube's rotated square.
+    cube_xy = state.cube_pos[:, :2]
+    ch, sh = jnp.cos(state.cube_heading), jnp.sin(state.cube_heading)  # (C,)
+    rel0 = p0[:, None, :] - cube_xy[None]   # (R, C, 2)
+    rel1 = p1[:, None, :] - cube_xy[None]
+    q0 = jnp.stack(
+        [ch * rel0[..., 0] + sh * rel0[..., 1], -sh * rel0[..., 0] + ch * rel0[..., 1]],
+        axis=-1,
+    )
+    q1 = jnp.stack(
+        [ch * rel1[..., 0] + sh * rel1[..., 1], -sh * rel1[..., 0] + ch * rel1[..., 1]],
+        axis=-1,
+    )
+    dq = q1 - q0
+    inv = 1.0 / jnp.where(jnp.abs(dq) < 1e-12, 1e-12, dq)
+    t0 = (-CUBE_R - q0) * inv
+    t1 = (CUBE_R - q0) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)   # (R, C)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    avail = (state.cube_status == CUBE_AVAILABLE)[None, :]
+    valid = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0) & avail
+    ts = jnp.where(valid, jnp.maximum(tmin, 0.0), jnp.inf)  # (R, C)
 
-    ts = jax.vmap(cube_t)(jnp.arange(params.num_cubes))
-
-    # Wall hits block the ray (rayTestBatch returns the first body).
+    # Walls block the ray (rayTestBatch returns the first body).
     t = jnp.linspace(0.0, 1.0, 16)
-    pts = p0[None] + t[:, None] * (p1 - p0)[None]
-    sd = _point_aabb_dist(pts, state.rects)
-    wall_ts = jnp.where(jnp.any(sd <= 0.0, axis=1), t, jnp.inf)
-    t_wall = jnp.min(wall_ts)
+    pts = p0[:, None, :] + t[None, :, None] * (p1 - p0)[:, None, :]  # (R, 16, 2)
+    wall_hit = jnp.any(_point_aabb_dist(pts, state.rects) <= 0.0, axis=2)  # (R, 16)
+    wall_ts = jnp.where(wall_hit, t[None, :], jnp.inf)
+    t_wall = jnp.min(wall_ts, axis=1)  # (R,)
 
-    c_best = jnp.argmin(ts)
-    t_best = ts[c_best]
+    c_best = jnp.argmin(ts, axis=1)
+    t_best = jnp.min(ts, axis=1)
     found = (t_best < jnp.inf) & (t_best <= t_wall)
     return jnp.where(found, c_best, -1)
-
-
-# ---------------------------------------------------------------------------
-# Manipulation primitives
-# ---------------------------------------------------------------------------
-
-def _remove_cube(state: EnvState, c):
-    """envs.py:348-350: teleport far below and mark removed."""
-    pos = jnp.array([0.0, 0.0, -1000.0])
-    return state.replace(
-        cube_pos=state.cube_pos.at[c].set(pos),
-        cube_status=state.cube_status.at[c].set(CUBE_REMOVED),
-    )
 
 
 def in_receptacle(params: EnvParams, cube_xy):
     """cube_position_in_receptacle (envs.py:352-361): top-right corner
     semantics."""
     if not params.has_receptacle:
-        return jnp.bool_(False)
+        return jnp.zeros(cube_xy.shape[:-1], bool)
     rx, ry = params.receptacle_position
     half = (constants.RECEPTACLE_WIDTH - constants.CUBE_WIDTH) / 2
     return (cube_xy[..., 0] > rx - half) & (cube_xy[..., 1] > ry - half)
 
 
 # ---------------------------------------------------------------------------
-# Controller FSM (RobotController.step, envs.py:1394-1502)
+# Controller FSM (RobotController.step, envs.py:1394-1502), vectorized
 # ---------------------------------------------------------------------------
 
-def _update_distance(state: EnvState, r, cur_p, pred):
-    """Robot.update_distance (envs.py:1001-1010), gated by pred."""
-    d = jnp.linalg.norm(cur_p - state.prev_wp_pos[r])
-    return state.replace(
-        step_distance=state.step_distance.at[r].add(jnp.where(pred, d, 0.0)),
-        prev_wp_pos=state.prev_wp_pos.at[r].set(
-            jnp.where(pred, cur_p, state.prev_wp_pos[r])
-        ),
-    )
-
-
-def _lift_cube(params: EnvParams, state: EnvState, r, c, pred):
-    """LiftingRobot.lift_cube (envs.py:1217-1234), gated."""
-    ci = jnp.maximum(c, 0)
-    ee = params.ee_locations[r]
-    offset = ee + constants.LIFTED_CUBE_OFFSET + CUBE_R
-    lifted = jnp.concatenate([
-        state.robot_pos[r] + offset * _dir(state.robot_heading[r]),
-        jnp.array([constants.LIFTED_CUBE_HEIGHT + CUBE_R]),
-    ])
-    return state.replace(
-        carried_cube=state.carried_cube.at[r].set(jnp.where(pred, ci, state.carried_cube[r])),
-        lifting=state.lifting.at[r].set(jnp.where(pred, True, state.lifting[r])),
-        cube_status=state.cube_status.at[ci].set(
-            jnp.where(pred, CUBE_LIFTED, state.cube_status[ci])
-        ),
-        cube_pos=state.cube_pos.at[ci].set(jnp.where(pred, lifted, state.cube_pos[ci])),
-        cube_heading=state.cube_heading.at[ci].set(
-            jnp.where(pred, state.robot_heading[r], state.cube_heading[ci])
-        ),
-        pr_initial=state.pr_initial.at[r].set(
-            jnp.where(pred, state.cube_pos[ci, :2], state.pr_initial[r])
-        ),
-    )
-
-
-def _drop_cube(params: EnvParams, state: EnvState, r, pred):
-    """LiftingRobot.drop_cube (envs.py:1236-1266), gated."""
-    c = jnp.maximum(state.carried_cube[r], 0)
-    cur_p = state.robot_pos[r]
-    cur_h = state.robot_heading[r]
-    ee = params.ee_locations[r]
-    offset = ee + constants.END_EFFECTOR_THICKNESS + CUBE_R
-    drop_xy = cur_p + offset * _dir(cur_h)
-    success = in_receptacle(params, drop_xy)
-
-    # Partial-reward pair: carried position at drop time.
-    state = state.replace(
-        pr_final=state.pr_final.at[r].set(
-            jnp.where(pred, state.cube_pos[c, :2], state.pr_final[r])
-        ),
-        pr_pending=state.pr_pending.at[r].set(state.pr_pending[r] | pred),
-    )
-
-    new_status = jnp.where(success, CUBE_REMOVED, CUBE_AVAILABLE)
-    new_pos = jnp.where(
-        success,
-        jnp.array([0.0, 0.0, -1000.0]),
-        jnp.concatenate([drop_xy, jnp.array([CUBE_R])]),
-    )
-    state = state.replace(
-        cube_status=state.cube_status.at[c].set(
-            jnp.where(pred, new_status, state.cube_status[c])
-        ),
-        cube_pos=state.cube_pos.at[c].set(jnp.where(pred, new_pos, state.cube_pos[c])),
-        cube_heading=state.cube_heading.at[c].set(
-            jnp.where(pred, cur_h, state.cube_heading[c])
-        ),
-        cubes=state.cubes.at[r].add(jnp.where(pred & success, 1, 0)),
-        cubes_with_reward=state.cubes_with_reward.at[r].add(jnp.where(pred & success, 1, 0)),
-        pointless_drop=state.pointless_drop.at[r].set(
-            state.pointless_drop[r] | (pred & ~success)
-        ),
-        lifting=state.lifting.at[r].set(jnp.where(pred, False, state.lifting[r])),
-        carried_cube=state.carried_cube.at[r].set(
-            jnp.where(pred, -1, state.carried_cube[r])
-        ),
-    )
-    return state
-
-
-def _throw_cube(params: EnvParams, state: EnvState, r, c, pred):
-    """ThrowingRobot.prepare_throw_cube + throw_cube (envs.py:1306-1329)."""
-    ci = jnp.maximum(c, 0)
-    key, k1, k2, k3 = jax.random.split(state.key, 4)
-    fx = constants.THROW_FORCE_X_MEAN + constants.THROW_FORCE_X_STD * jax.random.normal(k1)
-    fy = constants.THROW_FORCE_Y_MEAN + constants.THROW_FORCE_Y_STD * jax.random.normal(k2)
-    fy = fy * jnp.where(jax.random.uniform(k3) < 0.5, -1.0, 1.0)
-    kvel = constants.THROW_IMPULSE_TO_VELOCITY
-    cur_p = state.robot_pos[r]
-    cur_h = state.robot_heading[r]
-    ch, sh = jnp.cos(cur_h), jnp.sin(cur_h)
-    # LINK_FRAME force (-fx, -fy, 0) rotated to world.
-    v = jnp.array([(-fx) * ch - (-fy) * sh, (-fx) * sh + (-fy) * ch, 0.0]) * kvel
-    back = jnp.concatenate([
-        cur_p + constants.ROBOT_BACKPACK_OFFSET * _dir(cur_h),
-        jnp.array([constants.ROBOT_HEIGHT + constants.CUBE_WIDTH]),
-    ])
-    return state.replace(
-        key=jnp.where(pred, key, state.key),
-        carried_cube=state.carried_cube.at[r].set(jnp.where(pred, ci, state.carried_cube[r])),
-        cube_status=state.cube_status.at[ci].set(
-            jnp.where(pred, CUBE_THROWN, state.cube_status[ci])
-        ),
-        cube_pos=state.cube_pos.at[ci].set(jnp.where(pred, back, state.cube_pos[ci])),
-        cube_heading=state.cube_heading.at[ci].set(
-            jnp.where(pred, cur_h, state.cube_heading[ci])
-        ),
-        cube_vel=state.cube_vel.at[ci].set(jnp.where(pred, v, state.cube_vel[ci])),
-        pr_initial=state.pr_initial.at[r].set(
-            jnp.where(pred, state.cube_pos[ci, :2], state.pr_initial[r])
-        ),
-    )
-
-
-def _finish_throw(params: EnvParams, state: EnvState, r, pred):
-    """ThrowingRobot.finish_throw_cube (envs.py:1331-1343)."""
-    c = jnp.maximum(state.carried_cube[r], 0)
-    cube_xy = state.cube_pos[c, :2]
-    success = in_receptacle(params, cube_xy)
-    new_status = jnp.where(success, CUBE_REMOVED, CUBE_AVAILABLE)
-    new_pos = jnp.where(
-        success, jnp.array([0.0, 0.0, -1000.0]),
-        state.cube_pos[c].at[2].set(jnp.maximum(state.cube_pos[c, 2], CUBE_R)),
-    )
-    return state.replace(
-        pr_final=state.pr_final.at[r].set(jnp.where(pred, cube_xy, state.pr_final[r])),
-        pr_pending=state.pr_pending.at[r].set(state.pr_pending[r] | pred),
-        cube_status=state.cube_status.at[c].set(
-            jnp.where(pred, new_status, state.cube_status[c])
-        ),
-        cube_pos=state.cube_pos.at[c].set(jnp.where(pred, new_pos, state.cube_pos[c])),
-        cube_vel=state.cube_vel.at[c].set(
-            jnp.where(pred, jnp.zeros(3), state.cube_vel[c])
-        ),
-        cubes=state.cubes.at[r].add(jnp.where(pred & success, 1, 0)),
-        cubes_with_reward=state.cubes_with_reward.at[r].add(jnp.where(pred & success, 1, 0)),
-        carried_cube=state.carried_cube.at[r].set(jnp.where(pred, -1, state.carried_cube[r])),
-    )
-
-
-def _rescue_cube(params: EnvParams, state: EnvState, r, c, pred):
-    """RescueRobot.rescue_cube (envs.py:1358-1366)."""
-    ci = jnp.maximum(c, 0)
-    return state.replace(
-        cube_status=state.cube_status.at[ci].set(
-            jnp.where(pred, CUBE_REMOVED, state.cube_status[ci])
-        ),
-        cube_pos=state.cube_pos.at[ci].set(
-            jnp.where(pred, jnp.array([0.0, 0.0, -1000.0]), state.cube_pos[ci])
-        ),
-        cubes=state.cubes.at[r].add(jnp.where(pred, 1, 0)),
-        cubes_with_reward=state.cubes_with_reward.at[r].add(jnp.where(pred, 1, 0)),
-    )
-
-
-def _done_moving(params: EnvParams, state: EnvState, r, pred):
-    """RobotController._done_moving (envs.py:1480-1502).
-
-    Sets fsm to IDLE or MANIPULATING and performs the per-type manipulation.
-    ``r`` is a static int so the type dispatch is Python-level.
-    """
-    typ = params.robot_types[r]
-    typ_name = constants.ROBOT_TYPES[typ]
-    cur_p = state.robot_pos[r]
-
-    state = state.replace(
-        fsm=state.fsm.at[r].set(jnp.where(pred, IDLE, state.fsm[r]))
-    )
-
-    if typ_name == "lifting_robot":
-        carrying = state.lifting[r]
-        drop = pred & carrying & (state.action[r, 0] == 1)
-        keep = pred & carrying & (state.action[r, 0] != 1)
-        state = _drop_cube(params, state, r, drop)
-        state = state.replace(
-            fsm=state.fsm.at[r].set(jnp.where(drop, MANIPULATING, state.fsm[r])),
-            manip_target=state.manip_target.at[r].set(
-                jnp.where(drop, constants.MANIPULATION_STEPS_DROP, state.manip_target[r])
-            ),
-            manip_steps=state.manip_steps.at[r].set(
-                jnp.where(drop, 0, state.manip_steps[r])
-            ),
-        )
-        # Keep carrying: close a partial-reward segment at the action end
-        # (process_lifted_cube_position, envs.py:1488).
-        c = jnp.maximum(state.carried_cube[r], 0)
-        state = state.replace(
-            pr_final=state.pr_final.at[r].set(
-                jnp.where(keep, state.cube_pos[c, :2], state.pr_final[r])
-            ),
-            pr_pending=state.pr_pending.at[r].set(state.pr_pending[r] | keep),
-        )
-        # Ready state: try to grab.
-        near = (
-            jnp.linalg.norm(cur_p - state.waypoints[r, state.num_wp[r] - 1])
-            < constants.DRIVE_STEP_SIZE
-        )
-        try_grab = pred & ~carrying & (state.potential_cube[r] >= 0) & near
-        c_found = ray_test_cube(params, state, r)
-        state = _lift_cube(params, state, r, c_found, try_grab & (c_found >= 0))
-
-    elif typ_name == "throwing_robot":
-        near = (
-            jnp.linalg.norm(cur_p - state.waypoints[r, state.num_wp[r] - 1])
-            < constants.DRIVE_STEP_SIZE
-        )
-        try_grab = pred & (state.potential_cube[r] >= 0) & near
-        c_found = ray_test_cube(params, state, r)
-        do = try_grab & (c_found >= 0)
-        state = _throw_cube(params, state, r, c_found, do)
-        state = state.replace(
-            fsm=state.fsm.at[r].set(jnp.where(do, MANIPULATING, state.fsm[r])),
-            manip_target=state.manip_target.at[r].set(
-                jnp.where(do, constants.MANIPULATION_STEPS_THROW, state.manip_target[r])
-            ),
-            manip_steps=state.manip_steps.at[r].set(jnp.where(do, 0, state.manip_steps[r])),
-        )
-
-    elif typ_name == "rescue_robot":
-        near = (
-            jnp.linalg.norm(cur_p - state.waypoints[r, state.num_wp[r] - 1])
-            < constants.DRIVE_STEP_SIZE
-        )
-        try_grab = pred & (state.potential_cube[r] >= 0) & near
-        c_found = ray_test_cube(params, state, r)
-        state = _rescue_cube(params, state, r, c_found, try_grab & (c_found >= 0))
-
-    # pushing_robot: nothing to do (1-channel, no end effector).
-    return state
+def _scatter_cube(arr, c_idx, mask, values, c_n):
+    idx = jnp.where(mask, c_idx, c_n)
+    return arr.at[idx].set(values, mode="drop")
 
 
 def controller_substep(params: EnvParams, state: EnvState, active) -> EnvState:
-    """One controller tick for every robot (robots processed in index order
-    like the reference's flat robot list, envs.py:762-763)."""
-    for r in range(params.num_robots):
-        act = active & (state.fsm[r] != IDLE)
-        state = state.replace(
-            ctrl_sim_steps=state.ctrl_sim_steps.at[r].add(jnp.where(act, 1, 0))
-        )
+    r_n, c_n = params.num_robots, params.num_cubes
+    ridx = jnp.arange(r_n)
+    tm = _type_masks(params)
+    ee = jnp.asarray(params.ee_locations)
 
-        # ---------------- MOVING ----------------
-        mov = act & (state.fsm[r] == MOVING)
-        cur_p = state.robot_pos[r]
-        cur_h = state.robot_heading[r]
-        hp = state.has_prev[r]
+    act = active & (state.fsm != IDLE)
+    ctrl_sim_steps = state.ctrl_sim_steps + act.astype(jnp.int32)
+    state = state.replace(ctrl_sim_steps=ctrl_sim_steps)
 
-        driving = jnp.linalg.norm(cur_p - state.prev_pos[r]) > constants.NOT_MOVING_POS_EPS
-        turning = (
-            jnp.abs(heading_diff(state.prev_heading[r], cur_h))
-            > constants.NOT_MOVING_HEADING_EPS
-        )
-        consec = jnp.where(turning, state.consec_turn[r] + 1, 0)
-        state = state.replace(
-            consec_turn=state.consec_turn.at[r].set(
-                jnp.where(mov & hp, consec, state.consec_turn[r])
-            )
-        )
-        stuck = consec > constants.STUCK_OSCILLATING_STEPS
-        not_moving = ((~driving) & (~turning)) | stuck
+    # ---------------- MOVING ----------------
+    mov = act & (state.fsm == MOVING)
+    cur_p = state.robot_pos
+    cur_h = state.robot_heading
+    hp = state.has_prev
 
-        # Collision check gating (envs.py:1418-1419)
-        far_from_start = (
-            jnp.linalg.norm(cur_p - state.waypoints[r, 0]) > constants.DRIVE_STEP_SIZE
-        )
-        check = mov & hp & (far_from_start | not_moving)
-        state = state.replace(
-            collided_obstacle=state.collided_obstacle.at[r].set(
-                state.collided_obstacle[r] | (check & state.blocked_obstacle[r])
-            ),
-            collided_robot=state.collided_robot.at[r].set(
-                state.collided_robot[r] | (check & state.blocked_robot[r])
-            ),
-        )
+    driving = jnp.linalg.norm(cur_p - state.prev_pos, axis=-1) > constants.NOT_MOVING_POS_EPS
+    turning = jnp.abs(heading_diff(state.prev_heading, cur_h)) > constants.NOT_MOVING_HEADING_EPS
+    consec = jnp.where(turning, state.consec_turn + 1, 0)
+    state = state.replace(consec_turn=jnp.where(mov & hp, consec, state.consec_turn))
+    stuck = consec > constants.STUCK_OSCILLATING_STEPS
+    not_moving = ((~driving) & (~turning)) | stuck
 
-        step_limit = state.ctrl_sim_steps[r] > constants.STEP_LIMIT_SIM_STEPS
-        go_idle = mov & hp & (
-            state.collided_obstacle[r] | state.collided_robot[r] | step_limit
-        )
-        state = _update_distance(state, r, cur_p, go_idle)
-        state = state.replace(fsm=state.fsm.at[r].set(jnp.where(go_idle, IDLE, state.fsm[r])))
+    # Collision check gating (envs.py:1418-1419).
+    far_from_start = (
+        jnp.linalg.norm(cur_p - state.waypoints[:, 0], axis=-1) > constants.DRIVE_STEP_SIZE
+    )
+    check = mov & hp & (far_from_start | not_moving)
+    collided_obstacle = state.collided_obstacle | (check & state.blocked_obstacle)
+    collided_robot = state.collided_robot | (check & state.blocked_robot)
+    state = state.replace(
+        collided_obstacle=collided_obstacle, collided_robot=collided_robot
+    )
 
-        reached = mov & hp & ~go_idle & not_moving
-        state = _update_distance(state, r, cur_p, reached)
-        last_wp = state.wp_index[r] == state.num_wp[r] - 1
-        dm = reached & last_wp
-        advance = reached & ~last_wp
-        state = state.replace(
-            wp_index=state.wp_index.at[r].add(jnp.where(advance, 1, 0))
-        )
-        state = _done_moving(params, state, r, dm)
+    step_limit = ctrl_sim_steps > constants.STEP_LIMIT_SIM_STEPS
+    go_idle = mov & hp & (collided_obstacle | collided_robot | step_limit)
+    reached = mov & hp & ~go_idle & not_moving
 
-        # If still moving, retarget the servo (envs.py:1437-1461).
-        still = mov & (state.fsm[r] == MOVING)
-        wp_i = state.wp_index[r]
-        wp = state.waypoints[r, wp_i]
-        hd = heading_diff(cur_h, state.wp_headings[r, wp_i])
-        turn_mode = jnp.abs(hd) > constants.TURN_STEP_SIZE
-        t_heading_turn = cur_h + jnp.sign(hd) * constants.TURN_STEP_SIZE
+    # update_distance (envs.py:1001-1010) on both exits.
+    upd = go_idle | reached
+    leg = jnp.linalg.norm(cur_p - state.prev_wp_pos, axis=-1)
+    state = state.replace(
+        step_distance=state.step_distance + jnp.where(upd, leg, 0.0),
+        prev_wp_pos=jnp.where(upd[:, None], cur_p, state.prev_wp_pos),
+        fsm=jnp.where(go_idle, IDLE, state.fsm),
+    )
 
-        dxy = wp - cur_p
-        near_wp = jnp.linalg.norm(dxy) < constants.DRIVE_STEP_SIZE
-        ms = jnp.sign(
-            jnp.linalg.norm(cur_p - state.target_ee[r])
-            - (params.ee_locations[r] + constants.CUBE_WIDTH / 2)
-        )
-        ms = jnp.where(ms == 0, 1.0, ms)
-        nh = jnp.arctan2(ms * dxy[1], ms * dxy[0])
-        drive_pos = cur_p + ms * constants.DRIVE_STEP_SIZE * _dir(nh)
-        t_pos = jnp.where(turn_mode, cur_p, jnp.where(near_wp, wp, drive_pos))
-        t_heading = jnp.where(turn_mode, t_heading_turn, jnp.where(near_wp, cur_h, nh))
-        state = state.replace(
-            target_pos=state.target_pos.at[r].set(
-                jnp.where(still, t_pos, state.target_pos[r])
-            ),
-            target_heading=state.target_heading.at[r].set(
-                jnp.where(still, t_heading, state.target_heading[r])
-            ),
-            prev_pos=state.prev_pos.at[r].set(jnp.where(mov, cur_p, state.prev_pos[r])),
-            prev_heading=state.prev_heading.at[r].set(
-                jnp.where(mov, cur_h, state.prev_heading[r])
-            ),
-            has_prev=state.has_prev.at[r].set(state.has_prev[r] | mov),
-        )
+    last_wp = state.wp_index == state.num_wp - 1
+    dm = reached & last_wp
+    state = state.replace(
+        wp_index=state.wp_index + (reached & ~last_wp).astype(jnp.int32)
+    )
 
-        # ---------------- MANIPULATING ----------------
-        man = act & (state.fsm[r] == MANIPULATING)
-        msteps = state.manip_steps[r] + 1
-        fin = man & (msteps >= state.manip_target[r])
-        state = state.replace(
-            manip_steps=state.manip_steps.at[r].set(
-                jnp.where(fin, 0, jnp.where(man, msteps, state.manip_steps[r]))
-            ),
-            manip_target=state.manip_target.at[r].set(
-                jnp.where(fin, 0, state.manip_target[r])
-            ),
-        )
-        if constants.ROBOT_TYPES[params.robot_types[r]] == "throwing_robot":
-            state = _finish_throw(params, state, r, fin)
-        state = state.replace(fsm=state.fsm.at[r].set(jnp.where(fin, IDLE, state.fsm[r])))
+    # ---------------- _done_moving dispatch (envs.py:1480-1502) ----------
+    state = state.replace(fsm=jnp.where(dm, IDLE, state.fsm))
 
+    # Lifting robots carrying a cube: drop (action channel 1) or keep.
+    carrying = state.lifting
+    drop = dm & tm["lifting"] & carrying & (state.action[:, 0] == 1)
+    keep = dm & tm["lifting"] & carrying & (state.action[:, 0] != 1)
+    carried = jnp.maximum(state.carried_cube, 0)
+    carried_xy = state.cube_pos[carried, :2]
+
+    # Partial-reward segment closes at drop/keep with the carried position
+    # (envs.py:1210-1215, 1236-1239).
+    close_pr = drop | keep
+    state = state.replace(
+        pr_final=jnp.where(close_pr[:, None], carried_xy, state.pr_final),
+        pr_pending=state.pr_pending | close_pr,
+    )
+
+    # drop_cube (envs.py:1236-1266): place ahead, score or mark pointless.
+    drop_offset = ee + constants.END_EFFECTOR_THICKNESS + CUBE_R
+    drop_xy = cur_p + drop_offset[:, None] * _dir(cur_h)
+    success = in_receptacle(params, drop_xy)
+    new_status = jnp.where(success, CUBE_REMOVED, CUBE_AVAILABLE)
+    placed = jnp.concatenate([drop_xy, jnp.full((r_n, 1), CUBE_R)], axis=-1)
+    new_cpos = jnp.where(success[:, None], _REMOVED_POS, placed)
+    state = state.replace(
+        cube_status=_scatter_cube(state.cube_status, carried, drop, new_status, c_n),
+        cube_pos=_scatter_cube(state.cube_pos, carried, drop, new_cpos, c_n),
+        cube_heading=_scatter_cube(state.cube_heading, carried, drop, cur_h, c_n),
+        cubes=state.cubes + (drop & success).astype(jnp.int32),
+        cubes_with_reward=state.cubes_with_reward + (drop & success).astype(jnp.int32),
+        pointless_drop=state.pointless_drop | (drop & ~success),
+        lifting=jnp.where(drop, False, state.lifting),
+        carried_cube=jnp.where(drop, -1, state.carried_cube),
+        fsm=jnp.where(drop, MANIPULATING, state.fsm),
+        manip_target=jnp.where(drop, constants.MANIPULATION_STEPS_DROP, state.manip_target),
+        manip_steps=jnp.where(drop, 0, state.manip_steps),
+    )
+
+    # Grab attempts (hooks robots at their final waypoint with a candidate,
+    # envs.py:1489-1502).  Lowest robot index wins a contested cube.
+    near = (
+        jnp.linalg.norm(cur_p - state.waypoints[ridx, state.num_wp - 1], axis=-1)
+        < constants.DRIVE_STEP_SIZE
+    )
+    try_grab = dm & tm["hooks"] & ~(tm["lifting"] & carrying) & (
+        state.potential_cube >= 0
+    ) & near
+    cand = ray_test_cubes_all(params, state)
+    want = try_grab & (cand >= 0)
+    same = (cand[:, None] == cand[None, :]) & want[:, None] & want[None, :]
+    loses = jnp.any(same & jnp.tril(jnp.ones((r_n, r_n), bool), -1), axis=1)
+    win = want & ~loses
+    cand_xy = state.cube_pos[jnp.maximum(cand, 0), :2]
+
+    # lift_cube (envs.py:1217-1234)
+    lift = win & tm["lifting"]
+    lifted_offset = ee + constants.LIFTED_CUBE_OFFSET + CUBE_R
+    lifted_pos = jnp.concatenate(
+        [
+            cur_p + lifted_offset[:, None] * _dir(cur_h),
+            jnp.full((r_n, 1), constants.LIFTED_CUBE_HEIGHT + CUBE_R),
+        ],
+        axis=-1,
+    )
+    state = state.replace(
+        carried_cube=jnp.where(lift, cand, state.carried_cube),
+        lifting=state.lifting | lift,
+        cube_status=_scatter_cube(
+            state.cube_status, jnp.maximum(cand, 0), lift,
+            jnp.full((r_n,), CUBE_LIFTED), c_n,
+        ),
+        cube_pos=_scatter_cube(state.cube_pos, jnp.maximum(cand, 0), lift, lifted_pos, c_n),
+        cube_heading=_scatter_cube(state.cube_heading, jnp.maximum(cand, 0), lift, cur_h, c_n),
+        pr_initial=jnp.where(lift[:, None], cand_xy, state.pr_initial),
+    )
+
+    # prepare_throw + throw_cube (envs.py:1306-1329)
+    throw = win & tm["throwing"]
+    key, *tkeys = jax.random.split(state.key, 4)
+    fx = constants.THROW_FORCE_X_MEAN + constants.THROW_FORCE_X_STD * jax.random.normal(
+        tkeys[0], (r_n,)
+    )
+    fy = constants.THROW_FORCE_Y_MEAN + constants.THROW_FORCE_Y_STD * jax.random.normal(
+        tkeys[1], (r_n,)
+    )
+    fy = fy * jnp.where(jax.random.uniform(tkeys[2], (r_n,)) < 0.5, -1.0, 1.0)
+    kvel = constants.THROW_IMPULSE_TO_VELOCITY
+    ch, sh = jnp.cos(cur_h), jnp.sin(cur_h)
+    v = jnp.stack(
+        [(-fx) * ch - (-fy) * sh, (-fx) * sh + (-fy) * ch, jnp.zeros(r_n)], axis=-1
+    ) * kvel
+    back = jnp.concatenate(
+        [
+            cur_p + constants.ROBOT_BACKPACK_OFFSET * _dir(cur_h),
+            jnp.full((r_n, 1), constants.ROBOT_HEIGHT + constants.CUBE_WIDTH),
+        ],
+        axis=-1,
+    )
+    state = state.replace(
+        key=jnp.where(jnp.any(throw), key, state.key),
+        carried_cube=jnp.where(throw, cand, state.carried_cube),
+        cube_status=_scatter_cube(
+            state.cube_status, jnp.maximum(cand, 0), throw,
+            jnp.full((r_n,), CUBE_THROWN), c_n,
+        ),
+        cube_pos=_scatter_cube(state.cube_pos, jnp.maximum(cand, 0), throw, back, c_n),
+        cube_heading=_scatter_cube(state.cube_heading, jnp.maximum(cand, 0), throw, cur_h, c_n),
+        cube_vel=_scatter_cube(state.cube_vel, jnp.maximum(cand, 0), throw, v, c_n),
+        pr_initial=jnp.where(throw[:, None], cand_xy, state.pr_initial),
+        fsm=jnp.where(throw, MANIPULATING, state.fsm),
+        manip_target=jnp.where(
+            throw, constants.MANIPULATION_STEPS_THROW, state.manip_target
+        ),
+        manip_steps=jnp.where(throw, 0, state.manip_steps),
+    )
+
+    # rescue_cube (envs.py:1358-1366): immediate removal + score.
+    rescue = win & tm["rescue"]
+    state = state.replace(
+        cube_status=_scatter_cube(
+            state.cube_status, jnp.maximum(cand, 0), rescue,
+            jnp.full((r_n,), CUBE_REMOVED), c_n,
+        ),
+        cube_pos=_scatter_cube(
+            state.cube_pos, jnp.maximum(cand, 0), rescue,
+            jnp.tile(_REMOVED_POS[None], (r_n, 1)), c_n,
+        ),
+        cubes=state.cubes + rescue.astype(jnp.int32),
+        cubes_with_reward=state.cubes_with_reward + rescue.astype(jnp.int32),
+    )
+
+    # ---------------- servo retarget (envs.py:1437-1461) -----------------
+    still = mov & (state.fsm == MOVING)
+    wp = state.waypoints[ridx, state.wp_index]
+    hdw = heading_diff(cur_h, state.wp_headings[ridx, state.wp_index])
+    turn_mode = jnp.abs(hdw) > constants.TURN_STEP_SIZE
+    t_heading_turn = cur_h + jnp.sign(hdw) * constants.TURN_STEP_SIZE
+    dxy = wp - cur_p
+    near_wp = jnp.linalg.norm(dxy, axis=-1) < constants.DRIVE_STEP_SIZE
+    ms = jnp.sign(
+        jnp.linalg.norm(cur_p - state.target_ee, axis=-1)
+        - (ee + constants.CUBE_WIDTH / 2)
+    )
+    ms = jnp.where(ms == 0, 1.0, ms)
+    nh = jnp.arctan2(ms * dxy[:, 1], ms * dxy[:, 0])
+    drive_pos = cur_p + (ms * constants.DRIVE_STEP_SIZE)[:, None] * _dir(nh)
+    t_pos = jnp.where(
+        turn_mode[:, None], cur_p, jnp.where(near_wp[:, None], wp, drive_pos)
+    )
+    t_heading = jnp.where(turn_mode, t_heading_turn, jnp.where(near_wp, cur_h, nh))
+    state = state.replace(
+        target_pos=jnp.where(still[:, None], t_pos, state.target_pos),
+        target_heading=jnp.where(still, t_heading, state.target_heading),
+        prev_pos=jnp.where(mov[:, None], cur_p, state.prev_pos),
+        prev_heading=jnp.where(mov, cur_h, state.prev_heading),
+        has_prev=state.has_prev | mov,
+    )
+
+    # ---------------- MANIPULATING (envs.py:1465-1472) -------------------
+    man = act & (state.fsm == MANIPULATING)
+    msteps = jnp.where(man, state.manip_steps + 1, state.manip_steps)
+    fin = man & (msteps >= state.manip_target)
+    state = state.replace(
+        manip_steps=jnp.where(fin, 0, msteps),
+        manip_target=jnp.where(fin, 0, state.manip_target),
+    )
+
+    # finish_throw_cube (envs.py:1331-1343)
+    fin_throw = fin & tm["throwing"]
+    c2 = jnp.maximum(state.carried_cube, 0)
+    cube_xy2 = state.cube_pos[c2, :2]
+    succ2 = in_receptacle(params, cube_xy2)
+    st2 = jnp.where(succ2, CUBE_REMOVED, CUBE_AVAILABLE)
+    landed_pos = state.cube_pos[c2].at[:, 2].set(
+        jnp.maximum(state.cube_pos[c2, 2], CUBE_R)
+    )
+    pos2 = jnp.where(succ2[:, None], _REMOVED_POS, landed_pos)
+    state = state.replace(
+        pr_final=jnp.where(fin_throw[:, None], cube_xy2, state.pr_final),
+        pr_pending=state.pr_pending | fin_throw,
+        cube_status=_scatter_cube(state.cube_status, c2, fin_throw, st2, c_n),
+        cube_pos=_scatter_cube(state.cube_pos, c2, fin_throw, pos2, c_n),
+        cube_vel=_scatter_cube(state.cube_vel, c2, fin_throw, jnp.zeros((r_n, 3)), c_n),
+        cubes=state.cubes + (fin_throw & succ2).astype(jnp.int32),
+        cubes_with_reward=state.cubes_with_reward
+        + (fin_throw & succ2).astype(jnp.int32),
+        carried_cube=jnp.where(fin_throw, -1, state.carried_cube),
+        fsm=jnp.where(fin, IDLE, state.fsm),
+    )
     return state
 
 
 def substep(params: EnvParams, state: EnvState, active) -> EnvState:
-    """step_simulation + per-robot controller tick (envs.py:754-765)."""
+    """step_simulation + controller ticks (envs.py:754-765)."""
     state = physics_substep(params, state, active)
     state = controller_substep(params, state, active)
     return state

@@ -245,12 +245,28 @@ def grids_for_robot(params: EnvParams, state: EnvState, r_dyn):
 # Action injection (Robot.store_new_action, envs.py:856-919)
 # ---------------------------------------------------------------------------
 
-def inject_action(params: EnvParams, state: EnvState, actions) -> EnvState:
-    """Store a new action for the (single) robot with actions[r] >= 0."""
+def inject_action(params: EnvParams, state: EnvState, actions, percep=None) -> EnvState:
+    """Store a new action for the (single) robot with actions[r] >= 0.
+
+    If ``percep`` (a :func:`perception_pass` result computed on the same
+    occupancy, with its awaiting robot == the acting robot) is provided, the
+    planner reuses its configuration space and snap payload instead of
+    recomputing them.
+    """
     h, w = params.map_shape
     has_action = jnp.any(actions >= 0)
     acting = jnp.argmax(actions >= 0)
     a = jnp.maximum(actions[acting], 0)
+
+    # Snapshot available-cube positions for pushing partial rewards at the
+    # start of the step (envs.py:236-240).
+    avail0 = state.cube_status == CUBE_AVAILABLE
+    snapshot = jnp.where(avail0[:, None], state.cube_pos[:, :2], BIG)
+    state = state.replace(
+        push_initial_cube_pos=jnp.where(
+            has_action, snapshot, state.push_initial_cube_pos
+        )
+    )
 
     # Unravel (channel, i, j) over (C_out, 96, 96) (envs.py:858).
     ch = a // (N * N)
@@ -271,7 +287,12 @@ def inject_action(params: EnvParams, state: EnvState, actions) -> EnvState:
     k = constants.MAX_WAYPOINTS
 
     if params.use_shortest_path_movement:
-        cspace, cspace_thin, snap_payload = grids_for_robot(params, state, acting)
+        if percep is not None:
+            cspace = percep["cspaces"][acting]
+            snap_payload = percep["snaps"][acting]
+            cspace_thin = percep["cspace_thin"]
+        else:
+            cspace, cspace_thin, snap_payload = grids_for_robot(params, state, acting)
         si, sj = geometry.position_to_pixel(cur_p[0], cur_p[1], h, w)
         ti, tj = geometry.position_to_pixel(target_ee[0], target_ee[1], h, w)
         straight = raster_ops.line_free(
@@ -360,29 +381,48 @@ def inject_action(params: EnvParams, state: EnvState, actions) -> EnvState:
     )
 
     # Potential cube via ray test from the target pose (envs.py:1187, 1292,
-    # 1352): gated per type.
-    for r in range(params.num_robots):
-        tname = constants.ROBOT_TYPES[params.robot_types[r]]
-        if not constants.ROBOT_HAS_HOOKS[tname]:
-            continue
-        is_acting = has_action & (acting == r)
-        if tname == "lifting_robot":
-            gate = (~state.lifting[r]) & (state.action[r, 0] == 1)
-        else:
-            gate = state.action[r, 0] == 1
-        c = dynamics.ray_test_cube(params, state, r)
-        val = jnp.where(gate, c, -1)
-        state = state.replace(
-            potential_cube=state.potential_cube.at[r].set(
-                jnp.where(is_acting, val, state.potential_cube[r])
-            )
-        )
+    # 1352): lifting robots only when ready + channel 1; other hooks robots
+    # on channel 1.
+    tm = dynamics._type_masks(params)
+    gate = tm["hooks"] & (state.action[:, 0] == 1) & ~(tm["lifting"] & state.lifting)
+    cand = dynamics.ray_test_cubes_all(params, state)
+    val = jnp.where(gate, cand, -1)
+    is_acting = has_action & (jnp.arange(params.num_robots) == acting)
+    state = state.replace(
+        potential_cube=jnp.where(is_acting, val, state.potential_cube)
+    )
     return state
 
 
 # ---------------------------------------------------------------------------
 # Substep loop (VectorEnv._execute_actions, envs.py:754-765)
 # ---------------------------------------------------------------------------
+
+def run_substeps(params: EnvParams, state: EnvState, n: int, refresh: bool = True) -> EnvState:
+    """Run exactly ``n`` simulation substeps.  An env freezes whenever any of
+    its robots is idle (the reference stops simulating between actions,
+    envs.py:754-765) or its episode is done; frozen substeps are no-ops, so
+    this is safe to call unconditionally in the fused trainer.  With
+    ``refresh``, ends with a map refresh for still-executing robots (the
+    every-200-substeps refresh, envs.py:1400-1402; the fused loop triggers it
+    on its own cadence)."""
+
+    def one(s, _):
+        active = (~jnp.any(s.fsm == IDLE)) & (~s.done)
+        return dynamics.substep(params, s, active), None
+
+    state, _ = jax.lax.scan(one, state, None, length=n)
+    if refresh:
+        state = mid_action_map_refresh(params, state)
+    return state
+
+
+def mid_action_map_refresh(params: EnvParams, state: EnvState) -> EnvState:
+    env_running = (~jnp.any(state.fsm == IDLE)) & (~state.done)
+    return mapper.update_robot_maps(
+        params, state, (state.fsm != IDLE) & env_running
+    )
+
 
 def run_until_idle(params: EnvParams, state: EnvState) -> EnvState:
     """Run simulation substeps until some robot is idle, in chunks of
@@ -519,9 +559,102 @@ def perception_pass(params: EnvParams, state: EnvState):
     dists = jax.vmap(
         lambda f, s: wavefront.distance_image(f, s[0], s[1], params.num_pass_pairs)
     )(free_batch, seed_batch)
-    out = {"cspaces": cspaces, "snaps": snaps, "self_img": dists[-1] / ppm}
+
+    # Thin configuration space for straight-line shortcut tests
+    # (envs.py:2455), on the awaiting robot's occupancy memory — consumed by
+    # the next inject_action so the planner can reuse this pass.
+    thin_r = int(math.ceil(constants.ROBOT_HALF_WIDTH * constants.LOCAL_MAP_PIXELS_PER_METER))
+    occ_awaiting = state.occupancy[r_awaiting]
+    cspace_thin = ~raster_ops.binary_dilate_disk(occ_awaiting & rmask, thin_r)
+
+    out = {
+        "cspaces": cspaces,
+        "snaps": snaps,
+        "self_img": dists[-1] / ppm,
+        "cspace_thin": cspace_thin,
+        "awaiting": r_awaiting,
+    }
     if params.has_receptacle:
         out["recep_imgs"] = dists[:r_n] / ppm
+    return out
+
+
+def perception_pass_batched(params: EnvParams, state_b):
+    """perception_pass over a leading batch axis, with all sweeps flattened
+    into TWO batched kernel calls (Pallas on TPU) instead of vmapped per-env
+    scans.  state_b: EnvState with leading dim M.  Returns a percep pytree
+    with leading dim M (same structure as :func:`perception_pass`)."""
+    m = state_b.occupancy.shape[0]
+    r_n = params.num_robots
+    h, w = params.map_shape
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    npp = params.num_pass_pairs
+    rmask = geometry.room_mask(h, w, params.room_length, params.room_width)
+
+    occ = state_b.occupancy  # (M, R, H, W)
+    distinct = _distinct_radii(params)
+    dilated = {rad: raster_ops.binary_dilate_disk(occ, rad) for rad in distinct}
+    cspaces = jnp.stack(
+        [dilated[params.cspace_radii_px[r]][:, r] for r in range(r_n)], axis=1
+    )
+    cspaces = rmask & ~cspaces  # (M, R, H, W)
+
+    # --- Snap payload sweep: flat (M*R) rows ---
+    flat_cs = cspaces.reshape(m * r_n, h, w)
+    idx_img = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
+    dist0 = jnp.where(flat_cs, 0.0, wavefront.BIG).astype(jnp.float32)
+    pay0 = jnp.where(flat_cs, idx_img, 0)
+    ones = jnp.ones_like(flat_cs)
+    _, snaps_flat = wavefront.sweep_batched(dist0, pay0, ones, npp)
+    snaps = snaps_flat.reshape(m, r_n, h, w)
+
+    # --- Distance sweeps: R receptacle rows + 1 self row per env ---
+    r_awaiting = jnp.argmax(state_b.awaiting, axis=1)  # (M,)
+    menv = jnp.arange(m)
+    cspace_awaiting = cspaces[menv, r_awaiting]        # (M, H, W)
+    snap_awaiting = snaps[menv, r_awaiting]
+
+    free_rows = []
+    seed_rows = []
+    if params.has_receptacle:
+        rx, ry = params.receptacle_position
+        ri, rj = geometry.position_to_pixel(jnp.float32(rx), jnp.float32(ry), h, w)
+        flat_snap = snaps.reshape(m * r_n, h, w)
+        si = flat_snap[:, ri, rj] // w
+        sj = flat_snap[:, ri, rj] % w
+        free_rows.append(flat_cs)
+        seed_rows.append(jnp.stack([si, sj], axis=-1))
+    pos = state_b.robot_pos[menv, r_awaiting]
+    pi, pj = geometry.position_to_pixel(pos[:, 0], pos[:, 1], h, w)
+    flatidx = snap_awaiting[menv, pi, pj]
+    free_rows.append(cspace_awaiting)
+    seed_rows.append(jnp.stack([flatidx // w, flatidx % w], axis=-1))
+
+    free_b = jnp.concatenate(free_rows, axis=0)
+    seeds = jnp.concatenate(seed_rows, axis=0)  # (K, 2)
+    k = free_b.shape[0]
+    krows = jnp.arange(k)
+    free_b = free_b.at[krows, seeds[:, 0], seeds[:, 1]].set(True)
+    dist0 = jnp.full((k, h, w), wavefront.BIG, jnp.float32)
+    dist0 = dist0.at[krows, seeds[:, 0], seeds[:, 1]].set(0.0)
+    pay0 = jnp.zeros((k, h, w), jnp.int32)
+    dists, _ = wavefront.sweep_batched(dist0, pay0, free_b, npp)
+    dists = dists / ppm
+
+    # --- Thin cspace for the awaiting robot ---
+    thin_r = int(math.ceil(constants.ROBOT_HALF_WIDTH * ppm))
+    occ_awaiting = occ[menv, r_awaiting]
+    cspace_thin = ~raster_ops.binary_dilate_disk(occ_awaiting & rmask, thin_r)
+
+    out = {
+        "cspaces": cspaces,
+        "snaps": snaps,
+        "self_img": dists[-m:],
+        "cspace_thin": cspace_thin,
+        "awaiting": r_awaiting,
+    }
+    if params.has_receptacle:
+        out["recep_imgs"] = dists[: m * r_n].reshape(m, r_n, h, w)
     return out
 
 
@@ -536,11 +669,13 @@ def _dist_to_receptacle(params, img, snap, position):
     return jnp.sqrt((position[..., 0] - rx) ** 2 + (position[..., 1] - ry) ** 2)
 
 
-def step_end(params: EnvParams, state: EnvState):
-    """Cube post-processing, rewards, episode bookkeeping (envs.py:249-318).
+def step_end_pre(params: EnvParams, state: EnvState):
+    """First half of step-end processing — everything that does NOT need
+    distance images: awaiting selection, cube respawns, receptacle scoring,
+    and the awaiting-robot map refresh (envs.py:249-280).
 
-    Returns (state, recep_imgs or None) — the receptacle images are reused by
-    the observation builder.
+    Returns (state, ctx) where ctx carries the pre-removal cube geometry the
+    reward deltas need.
     """
     state = set_awaiting(state)
     state = _respawn_out_of_bounds_cubes(params, state)
@@ -550,6 +685,7 @@ def step_end(params: EnvParams, state: EnvState):
         [constants.ROBOT_TYPES[t] == "pushing_robot" for t in params.robot_types]
     )
     cube_xy_now = state.cube_pos[:, :2]  # pre-removal positions for deltas
+    closest = jnp.zeros(params.num_cubes, jnp.int32)
 
     if params.has_receptacle:
         # Closest robot per cube (envs.py:264-275).
@@ -578,13 +714,33 @@ def step_end(params: EnvParams, state: EnvState):
             ),
         )
 
-    # Map refresh for awaiting robots (envs.py:277-280), then one perception
-    # pass shared by the partial-reward deltas and the observation.  (The
-    # reference evaluates reward deltas on the pre-refresh occupancy; since
-    # the occupancy memory is monotone and refreshed every ~200 substeps
-    # anyway, using the post-refresh map is an equivalent metric.)
+    # Map refresh for awaiting robots (envs.py:277-280).  (The reference
+    # evaluates reward deltas on the pre-refresh occupancy; since the
+    # occupancy memory is monotone and refreshed every ~200 substeps anyway,
+    # using the post-refresh map is an equivalent metric.)
     state = mapper.update_robot_maps(params, state, state.awaiting)
-    percep = perception_pass(params, state)
+
+    # Episode bookkeeping (envs.py:285-294) — needs no distance images, so it
+    # lives in the pre half (the fused loop gates auto-resets on `done`).
+    scored_any = jnp.sum(state.cubes) > 0
+    inactivity = jnp.where(scored_any, 0, state.inactivity_steps + 1)
+    all_removed = jnp.all(state.cube_status == CUBE_REMOVED)
+    done = all_removed | (inactivity >= params.inactivity_cutoff)
+    state = state.replace(steps=state.steps + 1, inactivity_steps=inactivity, done=done)
+
+    ctx = {"avail": avail, "cube_xy": cube_xy_now, "closest": closest}
+    return state, ctx
+
+
+def step_end_post(params: EnvParams, state: EnvState, ctx, percep):
+    """Second half of step-end processing: distance-metric partial rewards,
+    episode bookkeeping, final rewards (envs.py:285-318, 933-955)."""
+    avail = ctx["avail"]
+    cube_xy_now = ctx["cube_xy"]
+    closest = ctx["closest"]
+    pushing_mask = jnp.asarray(
+        [constants.ROBOT_TYPES[t] == "pushing_robot" for t in params.robot_types]
+    )
 
     if params.has_receptacle:
         recep_imgs, snaps = percep["recep_imgs"], percep["snaps"]
@@ -640,16 +796,8 @@ def step_end(params: EnvParams, state: EnvState):
             )
         )
 
-    # Episode bookkeeping (envs.py:285-294).
-    scored_any = jnp.sum(state.cubes) > 0
-    inactivity = jnp.where(scored_any, 0, state.inactivity_steps + 1)
-    all_removed = jnp.all(state.cube_status == CUBE_REMOVED)
-    done = all_removed | (inactivity >= params.inactivity_cutoff)
-    state = state.replace(
-        steps=state.steps + 1, inactivity_steps=inactivity, done=done
-    )
-
     # Rewards for awaiting-or-done robots (envs.py:296-299, 933-955).
+    done = state.done
     compute = state.awaiting | done
     # done: add the final leg of distance (envs.py:940-942).
     final_leg = jnp.linalg.norm(state.robot_pos - state.prev_wp_pos, axis=-1)
@@ -685,6 +833,16 @@ def step_end(params: EnvParams, state: EnvState):
         cum_robot_collisions=state.cum_robot_collisions
         + jnp.where(compute & state.collided_robot, 1, 0),
     )
+    return state
+
+
+def step_end(params: EnvParams, state: EnvState):
+    """Full step-end processing (envs.py:249-318): pre + per-env perception
+    + post.  The fused loop calls the halves directly with a batched
+    perception pass between them."""
+    state, ctx = step_end_pre(params, state)
+    percep = perception_pass(params, state)
+    state = step_end_post(params, state, ctx, percep)
     return state, percep
 
 
@@ -715,6 +873,12 @@ def observe_standalone(params: EnvParams, state: EnvState):
     return observe(params, state, perception_pass(params, state))
 
 
+def observe_standalone_with_percep(params: EnvParams, state: EnvState):
+    percep = perception_pass(params, state)
+    obs, robot, group = observe(params, state, percep)
+    return obs, robot, group, percep
+
+
 # ---------------------------------------------------------------------------
 # Full step
 # ---------------------------------------------------------------------------
@@ -726,12 +890,6 @@ def step(params: EnvParams, state: EnvState, actions):
     everyone else.
     Returns (state, obs, obs_robot, obs_group, reward (R,), done, info dict).
     """
-    # Snapshot cube positions for pushing partial rewards (envs.py:236-240).
-    avail0 = state.cube_status == CUBE_AVAILABLE
-    state = state.replace(
-        push_initial_cube_pos=jnp.where(avail0[:, None], state.cube_pos[:, :2], BIG)
-    )
-
     state = inject_action(params, state, actions)
     state = run_until_idle(params, state)
     state, percep = step_end(params, state)

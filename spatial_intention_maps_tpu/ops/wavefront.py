@@ -176,6 +176,29 @@ def snap_to_valid(snap_payload, i, j):
 UNREACHABLE_THRESHOLD = 1e6  # works for pixel- and meter-scaled images
 
 
+def _use_pallas() -> bool:
+    import os
+
+    v = os.environ.get("SIM_TPU_USE_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def sweep_batched(dist, payload, free, num_pass_pairs=3):
+    """Batched sweep over (B, H, W) grids: the Pallas kernel on TPU (all
+    pass-pairs on-chip, see pallas_sweep.py), a vmapped lax sweep elsewhere."""
+    if _use_pallas():
+        from .pallas_sweep import sweep_pallas
+
+        return sweep_pallas(dist, payload, free, num_pass_pairs)
+    return jax.vmap(lambda d, p, f: sweep(d, p, f, num_pass_pairs))(
+        dist, payload, free
+    )
+
+
 def finite_or(dist, fill=None):
     """Replace unreachable sentinels with ``fill`` (default: the max finite
     value), reproducing ``global_map[global_map < 0] = global_map.max()``

@@ -1,0 +1,437 @@
+"""Fused substep-budget environment loop (the SURVEY §7 north-star design).
+
+Instead of the lockstep ``env.step`` (which simulates until the SLOWEST env
+in the batch finishes its action), every *round*:
+
+1. selects up to ``service_capacity`` envs that need attention — either an
+   action just finished (some robot idle -> finalize rewards/obs) or a fresh
+   observation is waiting for an action,
+2. gathers those envs into a compact sub-batch, runs the expensive
+   step-boundary work (cube processing, wavefront distance images, the
+   observation stack) only for them, gets actions (policy or random), injects
+   them, scatters back,
+3. advances ALL envs by exactly ``substeps_per_round`` simulation substeps
+   (envs whose robots are idle / episodes done are frozen, which is exactly
+   the reference's semantics of pausing simulation during action selection,
+   envs.py:754-765).
+
+Per-env trajectories are bit-identical to the sequential protocol; only the
+batching geometry changes.  Envs that are ready but beyond the service
+capacity simply stay frozen one more round.
+"""
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import constants
+from ..envs import env as env_core
+from ..envs.types import EnvParams, EnvState, IDLE
+from ..policies import action_space_size
+
+N = constants.LOCAL_MAP_PIXEL_WIDTH
+
+
+def _tree_where(mask, a, b):
+    """Per-leaf select with a (M,) mask broadcast over trailing dims."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+@struct.dataclass
+class LoopState:
+    env: EnvState                   # batched (B, ...)
+    stored_obs: jnp.ndarray         # (B, N, N, C) bf16 — obs awaiting an action
+    stored_robot: jnp.ndarray       # (B,) int32
+    has_obs: jnp.ndarray            # (B,) bool
+    pend_obs: jnp.ndarray           # (B, R, N, N, C) bf16
+    pend_act: jnp.ndarray           # (B, R) int32
+    pend_has: jnp.ndarray           # (B, R) bool
+    key: jnp.ndarray
+    round_idx: jnp.ndarray          # int32
+
+
+class FusedLoop:
+    """Builds the jitted round function; policy-driven or random-action."""
+
+    def __init__(self, params: EnvParams, num_envs: int, num_channels: int,
+                 substeps_per_round: int = 64, service_capacity: Optional[int] = None,
+                 policy=None):
+        self.params = params
+        self.num_envs = num_envs
+        self.num_channels = num_channels
+        self.substeps = substeps_per_round
+        # Expected fraction needing service per round ~ substeps/typical
+        # action length; leave generous slack.
+        self.capacity = service_capacity or max(
+            8, min(num_envs, int(num_envs * substeps_per_round / 100))
+        )
+        self.policy = policy
+        self._build()
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> LoopState:
+        b, r = self.num_envs, self.params.num_robots
+        key, kr = jax.random.split(key)
+        env, obs, robot, _ = self._reset_batch(jax.random.split(kr, b))
+        return LoopState(
+            env=env,
+            stored_obs=obs.astype(jnp.bfloat16),
+            stored_robot=robot,
+            has_obs=jnp.ones(b, bool),
+            pend_obs=jnp.zeros((b, r, N, N, self.num_channels), jnp.bfloat16),
+            pend_act=jnp.zeros((b, r), jnp.int32),
+            pend_has=jnp.zeros((b, r), bool),
+            key=key,
+            round_idx=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        params = self.params
+        b, m, k_sub = self.num_envs, self.capacity, self.substeps
+        r_n = params.num_robots
+        groups_arr = jnp.asarray(params.robot_groups)
+        spaces = jnp.asarray(
+            [action_space_size(c) for c in params.num_output_channels], jnp.int32
+        )
+        policy = self.policy
+
+        def reset_obs_one(key):
+            s = env_core.reset(params, key)
+            obs, robot, group = env_core.observe_standalone(params, s)
+            return s, obs, robot, group
+
+        self._reset_batch = jax.jit(jax.vmap(reset_obs_one))
+
+        def round_fn(ls: LoopState, variables, eps, use_gt_intention=False):
+            env = ls.env
+            key, k_reset, k_act = jax.random.split(ls.key, 3)
+
+            any_idle = jnp.any(env.fsm == IDLE, axis=1)
+            ready = any_idle | ls.has_obs
+            order = jnp.argsort(~ready, stable=True)
+            idx = order[:m]
+            row_valid = ready[idx]
+            safe_idx = jnp.where(row_valid, idx, b)
+
+            sub = jax.tree.map(lambda x: x[idx], env)
+            sub_obs = ls.stored_obs[idx].astype(jnp.float32)
+            sub_robot = ls.stored_robot[idx]
+            needs_fin = row_valid & ~ls.has_obs[idx]
+            pend_obs = ls.pend_obs[idx]
+            pend_act = ls.pend_act[idx]
+            pend_has = ls.pend_has[idx]
+
+            # ---- Finalize completed actions ----
+            # step_end split in two halves around ONE flat batched perception
+            # pass (the Pallas wavefront kernel on TPU) that also covers the
+            # replacement envs for auto-resets.
+            fin_pre, ctx = jax.vmap(lambda s: env_core.step_end_pre(params, s))(sub)
+            done = fin_pre.done & needs_fin
+            # Fresh replacement envs, skipped entirely when nothing finished
+            # (resets are rare; lax.cond keeps them off the steady-state path).
+            fresh = jax.lax.cond(
+                jnp.any(done),
+                lambda: jax.vmap(lambda kk: env_core.reset(params, kk))(
+                    jax.random.split(k_reset, m)
+                ),
+                lambda: fin_pre,
+            )
+            both = jax.tree.map(
+                lambda a, c: jnp.concatenate([a, c], axis=0), fin_pre, fresh
+            )
+            percep_both = env_core.perception_pass_batched(params, both)
+            percep = jax.tree.map(lambda x: x[:m], percep_both)
+            fresh_percep = jax.tree.map(lambda x: x[m:], percep_both)
+
+            fin = jax.vmap(
+                lambda s, c, p: env_core.step_end_post(params, s, c, p)
+            )(fin_pre, ctx, percep)
+            obs_f, robot_f, _ = jax.vmap(
+                lambda s, p: env_core.observe(params, s, p)
+            )(fin, percep)
+            fresh_obs, fresh_robot, _ = jax.vmap(
+                lambda s, p: env_core.observe(params, s, p)
+            )(fresh, fresh_percep)
+
+            merged = _tree_where(needs_fin, fin, sub)
+            obs = jnp.where(needs_fin[:, None, None, None], obs_f, sub_obs)
+            robot = jnp.where(needs_fin, robot_f, sub_robot)
+            reward = fin.reward                    # (M, R)
+
+            # ---- Transitions (TransitionTracker semantics) ----
+            robot_onehot = jnp.arange(r_n)[None, :] == robot[:, None]
+            arrived = robot_onehot & needs_fin[:, None] & ~done[:, None]
+            complete = (arrived | done[:, None]) & pend_has & row_valid[:, None]
+            trans = dict(
+                state=pend_obs.astype(jnp.float32),
+                action=pend_act,
+                reward=reward,
+                next_state=jnp.where(
+                    arrived[:, :, None, None, None],
+                    obs[:, None].astype(jnp.float32),
+                    0.0,
+                ),
+                has_next=arrived,
+                mask=complete,
+            )
+
+            # Episode metrics from finished episodes.
+            ep_cubes = jnp.where(done, jnp.sum(fin.cum_cubes, axis=1), 0)
+            ep_steps = jnp.where(done, fin.steps, 0)
+            n_done = jnp.sum(done.astype(jnp.int32))
+
+            # ---- Auto-reset finished episodes ----
+            merged = _tree_where(done, fresh, merged)
+            percep = _tree_where(done, fresh_percep, percep)
+            obs = jnp.where(done[:, None, None, None], fresh_obs, obs)
+            robot = jnp.where(done, fresh_robot, robot)
+            group = groups_arr[robot]
+
+            # ---- Actions ----
+            if policy is None:
+                acts = (
+                    jax.random.uniform(k_act, (m,)) * spaces[group]
+                ).astype(jnp.int32)
+            else:
+                acts, _ = policy.act(
+                    variables, obs, group, eps, k_act,
+                    use_predicted_intention=policy.use_predicted_intention
+                    and not use_gt_intention,
+                )
+
+            actions_rb = jnp.full((m, r_n), -1, jnp.int32)
+            actions_rb = actions_rb.at[jnp.arange(m), robot].set(
+                jnp.where(row_valid, acts, -1)
+            )
+            injected = jax.vmap(
+                lambda s, a, p: env_core.inject_action(params, s, a, p)
+            )(merged, actions_rb, percep)
+
+            # ---- Pending-pair bookkeeping ----
+            seed = (jnp.arange(r_n)[None, :] == robot[:, None]) & row_valid[:, None]
+            pend_has = (pend_has & ~complete & ~done[:, None]) | seed
+            pend_obs = jnp.where(
+                seed[:, :, None, None, None],
+                obs[:, None].astype(jnp.bfloat16),
+                pend_obs,
+            )
+            pend_act = jnp.where(seed, acts[:, None], pend_act)
+
+            # ---- Scatter sub-batch back ----
+            env = jax.tree.map(
+                lambda full, s: full.at[safe_idx].set(s, mode="drop"), env, injected
+            )
+            new_ls = ls.replace(
+                env=env,
+                has_obs=ls.has_obs.at[safe_idx].set(False, mode="drop"),
+                pend_obs=ls.pend_obs.at[safe_idx].set(pend_obs, mode="drop"),
+                pend_act=ls.pend_act.at[safe_idx].set(pend_act, mode="drop"),
+                pend_has=ls.pend_has.at[safe_idx].set(pend_has, mode="drop"),
+                key=key,
+            )
+
+            # ---- Advance simulation ----
+            env2 = jax.vmap(
+                lambda s: env_core.run_substeps(params, s, k_sub, refresh=False)
+            )(new_ls.env)
+            # Mid-action map refresh on the reference's ~200-substep cadence
+            # (envs.py:1400-1402), amortized over rounds.
+            refresh_every = max(1, 200 // k_sub)
+            env2 = jax.lax.cond(
+                ls.round_idx % refresh_every == refresh_every - 1,
+                lambda e: jax.vmap(
+                    lambda s: env_core.mid_action_map_refresh(params, s)
+                )(e),
+                lambda e: e,
+                env2,
+            )
+            new_ls = new_ls.replace(env=env2, round_idx=ls.round_idx + 1)
+
+            metrics = dict(
+                served=jnp.sum(row_valid.astype(jnp.int32)),
+                episodes=n_done,
+                episode_cubes=jnp.sum(ep_cubes),
+                episode_steps=jnp.sum(ep_steps),
+                reward_sum=jnp.sum(jnp.where(complete, reward, 0.0)),
+            )
+            return new_ls, trans, metrics
+
+        self._round = jax.jit(round_fn, static_argnames=("use_gt_intention",))
+
+    # ------------------------------------------------------------------
+    def round(self, ls: LoopState, variables=None, eps=0.0, use_gt_intention=False):
+        return self._round(ls, variables, eps, use_gt_intention)
+
+
+class FusedTrainer:
+    """Full DQN training on the fused loop (replaces the lockstep Trainer for
+    production runs): act -> step -> store -> learn with replay, per-group
+    Double-DQN updates, epsilon schedule, target sync, and predicted-intention
+    curriculum — all budget-compatible with the reference (timesteps are
+    served robot actions)."""
+
+    def __init__(self, cfg, env_params: EnvParams, num_envs=None, seed=0):
+        from ..policies import DQNPolicy
+        from ..replay import ReplayBuffer
+        from . import dqn
+
+        self.cfg = cfg
+        self.params = env_params
+        self.num_envs = num_envs or cfg.get("num_parallel_envs", 32)
+        self.key = jax.random.PRNGKey(seed)
+        self.dqn = dqn
+
+        self.policy = DQNPolicy(
+            env_params,
+            num_input_channels=cfg.num_input_channels,
+            use_predicted_intention=cfg.get("use_predicted_intention", False),
+            compute_dtype=jnp.bfloat16
+            if cfg.get("compute_dtype", "bfloat16") == "bfloat16"
+            else jnp.float32,
+        )
+        self.key, k = jax.random.split(self.key)
+        variables = self.policy.init(k)
+        self.optimizer = dqn.make_optimizer(
+            cfg.learning_rate, cfg.weight_decay, cfg.get("grad_norm_clipping")
+        )
+        self.train_states = []
+        for g in range(self.policy.num_groups):
+            iv = variables["intention"][g] if self.policy.use_predicted_intention else None
+            self.train_states.append(
+                dqn.create_train_state(
+                    self.policy.models[g], variables["policy"][g], self.optimizer,
+                    intention_variables=iv,
+                    intention_optimizer=self.optimizer if iv is not None else None,
+                )
+            )
+        self.buffers = [
+            ReplayBuffer.create(cfg.replay_buffer_size, cfg.num_input_channels)
+            for _ in range(self.policy.num_groups)
+        ]
+
+        self.loop = FusedLoop(
+            env_params,
+            num_envs=self.num_envs,
+            num_channels=cfg.num_input_channels,
+            substeps_per_round=cfg.get("substeps_per_round", 64),
+            policy=self.policy,
+        )
+
+        groups_arr = jnp.asarray(env_params.robot_groups)
+        r_n = env_params.num_robots
+
+        def push_group(buffer, trans, group_id):
+            robot_groups = jnp.broadcast_to(
+                groups_arr[None, :], trans["mask"].shape
+            )
+            mask = trans["mask"] & (robot_groups == group_id)
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            reward = jnp.broadcast_to(trans["reward"][:, None] if trans["reward"].ndim == 1
+                                      else trans["reward"], trans["mask"].shape)
+            return buffer.push(
+                flat(trans["state"]), flat(trans["action"]),
+                reward.reshape(-1), flat(trans["next_state"]),
+                flat(trans["has_next"]), flat(mask),
+            )
+
+        self._push_group = jax.jit(push_group, static_argnames=("group_id",))
+
+        def update_group(ts, buffer, key, discount, model_idx):
+            batch = buffer.sample(key, cfg.batch_size)
+            ts, info = dqn.dqn_update(
+                self.policy.models[model_idx], self.optimizer, ts, batch,
+                discount, use_double_dqn=cfg.use_double_dqn,
+            )
+            if self.policy.use_predicted_intention:
+                ts, info_i = dqn.intention_update(
+                    self.policy.intention_models[model_idx], self.optimizer, ts, batch
+                )
+                info.update(info_i)
+            return ts, info
+
+        self._update_group = jax.jit(update_group, static_argnames=("model_idx",))
+
+        self.timestep = 0
+        self.episode = 0
+
+    def _variables(self):
+        v = {"policy": [ts.variables for ts in self.train_states]}
+        if self.policy.use_predicted_intention:
+            v["intention"] = [ts.intention_variables for ts in self.train_states]
+        return v
+
+    def run(self, total_timesteps=None, log_fn=None):
+        import time as _time
+
+        from .loop import exploration_eps
+
+        cfg = self.cfg
+        total = total_timesteps or cfg.total_timesteps
+        learning_starts = int(round(cfg.learning_starts_frac * cfg.total_timesteps))
+        total_with_warmup = total + learning_starts
+
+        self.key, k = jax.random.split(self.key)
+        ls = self.loop.init(k)
+
+        train_credit = 0.0
+        next_target_sync = cfg.target_update_freq
+        t_start = _time.time()
+        metrics = {}
+
+        while self.timestep < total_with_warmup:
+            eps = exploration_eps(cfg, self.timestep, learning_starts)
+            use_gt = False
+            if self.policy.use_predicted_intention:
+                use_gt = (
+                    max(0, self.timestep - learning_starts) / cfg.total_timesteps
+                    <= cfg.use_predicted_intention_frac
+                )
+            ls, trans, m = self.loop.round(ls, self._variables(), eps, use_gt)
+            for g in range(self.policy.num_groups):
+                self.buffers[g] = self._push_group(self.buffers[g], trans, g)
+
+            served = int(m["served"])
+            self.timestep += served
+            self.episode += int(m["episodes"])
+
+            if self.timestep >= learning_starts:
+                train_credit += served / cfg.train_freq
+                while train_credit >= 1.0:
+                    train_credit -= 1.0
+                    for g in range(self.policy.num_groups):
+                        if int(self.buffers[g].size) < cfg.batch_size:
+                            continue
+                        self.key, ku = jax.random.split(self.key)
+                        self.train_states[g], tinfo = self._update_group(
+                            self.train_states[g], self.buffers[g], ku,
+                            cfg.discount_factors[g], g,
+                        )
+                        metrics[f"loss/group_{g}"] = float(tinfo["loss"])
+                        metrics[f"td_error/group_{g}"] = float(tinfo["td_error"])
+                if self.timestep >= next_target_sync:
+                    for g in range(self.policy.num_groups):
+                        self.train_states[g] = self.dqn.sync_target(self.train_states[g])
+                    next_target_sync += cfg.target_update_freq
+
+            if log_fn is not None:
+                elapsed = _time.time() - t_start
+                metrics.update(
+                    timestep=self.timestep,
+                    episodes=self.episode,
+                    epsilon=eps,
+                    steps_per_sec=self.timestep / max(elapsed, 1e-9),
+                    episode_cubes=float(m["episode_cubes"]),
+                    episodes_this_round=int(m["episodes"]),
+                )
+                log_fn(self.timestep, metrics, m, None)
+        return metrics

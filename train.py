@@ -16,7 +16,7 @@ import numpy as np
 
 from spatial_intention_maps_tpu import config as config_mod
 from spatial_intention_maps_tpu import factory
-from spatial_intention_maps_tpu.train.loop import Trainer
+from spatial_intention_maps_tpu.train.fused import FusedTrainer as Trainer
 from spatial_intention_maps_tpu.utils.checkpoint import save_checkpoint
 from spatial_intention_maps_tpu.utils.logging_utils import MetricLogger
 
@@ -43,21 +43,40 @@ def main(cfg):
 
     ckpt_every = cfg.checkpoint_freq
     next_ckpt = ckpt_every
+    next_vis = ckpt_every
+
+    def log_qmap_visualization(timestep):
+        """Q-map image logging (train.py:292-304 parity): run a random replay
+        state through the policy in debug mode and render state|Q panels."""
+        from spatial_intention_maps_tpu.utils.visualization import (
+            get_state_output_visualization,
+        )
+        import jax
+        import jax.numpy as jnp
+
+        for g in range(trainer.policy.num_groups):
+            buf = trainer.buffers[g]
+            if int(buf.size) < 1:
+                continue
+            k = jax.random.PRNGKey(timestep + g)
+            batch = buf.sample(k, 1)
+            state_img = np.asarray(batch["state"][0], np.float32)
+            q = trainer.policy.models[g].apply(
+                trainer.train_states[g].variables, batch["state"], train=False
+            )
+            q_chw = np.asarray(jnp.transpose(q[0], (2, 0, 1)))
+            vis = get_state_output_visualization(state_img, q_chw)
+            logger.log_image(f"output/robot_group_{g + 1:02d}", vis, timestep)
 
     def log_fn(timestep, metrics, info, done):
-        nonlocal next_ckpt
+        nonlocal next_ckpt, next_vis
         logger.log(timestep, metrics)
-        d = np.asarray(done)
-        if d.any():
-            logger.log(
-                timestep,
-                {
-                    "episode/total_cubes": float(
-                        np.mean(np.asarray(info["total_cubes"])[d])
-                    ),
-                    "episode/steps": float(np.mean(np.asarray(info["steps"])[d])),
-                },
-            )
+        if timestep >= next_vis:
+            try:
+                log_qmap_visualization(timestep)
+            except Exception as e:  # visualization must never kill training
+                print("qmap visualization failed:", e)
+            next_vis += ckpt_every
         if timestep >= next_ckpt:
             save_checkpoint(checkpoint_dir, timestep, trainer)
             cfg.policy_path = str(checkpoint_dir / f"policy_{timestep:08d}")
