@@ -24,28 +24,40 @@ _NEIGH = jnp.array(
 )
 
 
+_DESCENT_UNROLL = 4
+
+
 def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
     """Greedy steepest descent on a distance image from start to the seed.
 
     Returns (path (num_steps, 2) int32, path_len).  Once the seed (dist==0) is
     reached the position repeats, so path[path_len-1] is the seed cell.
+    Several descent steps are unrolled per scan iteration to cut the
+    sequential scan depth.
     """
     h, w = dist_img.shape
 
-    def step(cur, _):
+    def descend(cur):
         ni = jnp.clip(cur[0] + _NEIGH[:, 0], 0, h - 1)
         nj = jnp.clip(cur[1] + _NEIGH[:, 1], 0, w - 1)
         nd = dist_img[ni, nj]
         k = jnp.argmin(nd)
         better = nd[k] < dist_img[cur[0], cur[1]]
-        nxt = jnp.where(better, jnp.stack([ni[k], nj[k]]), cur)
-        return nxt, nxt
+        return jnp.where(better, jnp.stack([ni[k], nj[k]]), cur)
+
+    def step(cur, _):
+        outs = []
+        for _u in range(_DESCENT_UNROLL):
+            cur = descend(cur)
+            outs.append(cur)
+        return cur, jnp.stack(outs)
 
     start = jnp.asarray(start_ij, jnp.int32)
-    _, path = jax.lax.scan(step, start, None, length=num_steps - 1)
-    path = jnp.concatenate([start[None], path], axis=0)
-    # Path length: first index where we have arrived (position stops changing
-    # exactly when dist can no longer decrease).
+    n_iters = (num_steps - 1 + _DESCENT_UNROLL - 1) // _DESCENT_UNROLL
+    _, path = jax.lax.scan(step, start, None, length=n_iters)
+    path = jnp.concatenate(
+        [start[None], path.reshape(-1, 2)[: num_steps - 1]], axis=0
+    )
     moved = jnp.any(path[1:] != path[:-1], axis=-1)
     path_len = 1 + jnp.sum(moved.astype(jnp.int32))
     return path, path_len

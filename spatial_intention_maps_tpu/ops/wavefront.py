@@ -191,9 +191,9 @@ def sweep_batched(dist, payload, free, num_pass_pairs=3):
     """Batched sweep over (B, H, W) grids: the Pallas kernel on TPU (all
     pass-pairs on-chip, see pallas_sweep.py), a vmapped lax sweep elsewhere."""
     if _use_pallas():
-        from .pallas_sweep import sweep_pallas
+        from .pallas_sweep import sweep_pallas_stream
 
-        return sweep_pallas(dist, payload, free, num_pass_pairs)
+        return sweep_pallas_stream(dist, payload, free, num_pass_pairs)
     return jax.vmap(lambda d, p, f: sweep(d, p, f, num_pass_pairs))(
         dist, payload, free
     )

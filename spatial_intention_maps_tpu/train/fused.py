@@ -69,10 +69,11 @@ class FusedLoop:
         self.num_envs = num_envs
         self.num_channels = num_channels
         self.substeps = substeps_per_round
-        # Expected fraction needing service per round ~ substeps/typical
-        # action length; leave generous slack.
+        # Expected fraction needing service per round ~ substeps / typical
+        # action length (several hundred substeps); 2x slack.  Envs past the
+        # capacity just wait a round.
         self.capacity = service_capacity or max(
-            8, min(num_envs, int(num_envs * substeps_per_round / 100))
+            8, min(num_envs, int(num_envs * substeps_per_round / 256))
         )
         self.policy = policy
         self._build()
@@ -133,8 +134,7 @@ class FusedLoop:
 
             # ---- Finalize completed actions ----
             # step_end split in two halves around ONE flat batched perception
-            # pass (the Pallas wavefront kernel on TPU) that also covers the
-            # replacement envs for auto-resets.
+            # pass (the streaming Pallas wavefront kernel on TPU).
             fin_pre, ctx = jax.vmap(lambda s: env_core.step_end_pre(params, s))(sub)
             done = fin_pre.done & needs_fin
             # Fresh replacement envs, skipped entirely when nothing finished
@@ -146,22 +146,32 @@ class FusedLoop:
                 ),
                 lambda: fin_pre,
             )
-            both = jax.tree.map(
-                lambda a, c: jnp.concatenate([a, c], axis=0), fin_pre, fresh
-            )
-            percep_both = env_core.perception_pass_batched(params, both)
-            percep = jax.tree.map(lambda x: x[:m], percep_both)
-            fresh_percep = jax.tree.map(lambda x: x[m:], percep_both)
-
+            percep = env_core.perception_pass_batched(params, fin_pre)
             fin = jax.vmap(
                 lambda s, c, p: env_core.step_end_post(params, s, c, p)
             )(fin_pre, ctx, percep)
             obs_f, robot_f, _ = jax.vmap(
                 lambda s, p: env_core.observe(params, s, p)
             )(fin, percep)
-            fresh_obs, fresh_robot, _ = jax.vmap(
-                lambda s, p: env_core.observe(params, s, p)
-            )(fresh, fresh_percep)
+
+            # Fresh-env perception + observation only when a reset happened
+            # (off the steady-state path).
+            def fresh_branch():
+                fp = env_core.perception_pass_batched(params, fresh)
+                fo, fr, _ = jax.vmap(
+                    lambda s, p: env_core.observe(params, s, p)
+                )(fresh, fp)
+                return fp, fo, fr
+
+            def zero_branch():
+                shapes = jax.eval_shape(fresh_branch)
+                return jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes
+                )
+
+            fresh_percep, fresh_obs, fresh_robot = jax.lax.cond(
+                jnp.any(done), fresh_branch, zero_branch
+            )
 
             merged = _tree_where(needs_fin, fin, sub)
             obs = jnp.where(needs_fin[:, None, None, None], obs_f, sub_obs)

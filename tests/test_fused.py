@@ -1,0 +1,60 @@
+"""Fused substep-budget loop: liveness + bookkeeping invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatial_intention_maps_tpu import constants
+from spatial_intention_maps_tpu.envs.types import EnvParams
+from spatial_intention_maps_tpu.train.fused import FusedLoop
+
+
+@pytest.fixture(scope="module")
+def loop():
+    params = EnvParams.from_robot_config(
+        [{"lifting_robot": 1}],
+        env_name="small_empty",
+        room_length=1.0,
+        room_width=0.5,
+        num_cubes=3,
+        use_partial_observations=False,
+    )
+    return FusedLoop(
+        params, num_envs=4, num_channels=params.num_state_channels,
+        substeps_per_round=64, service_capacity=4,
+    )
+
+
+def test_fused_loop_serves_and_tracks(loop):
+    ls = loop.init(jax.random.PRNGKey(0))
+    served_total = 0
+    completed = 0
+    rewards = []
+    for _ in range(30):
+        ls, trans, m = loop.round(ls)
+        served_total += int(m["served"])
+        mask = np.asarray(trans["mask"])
+        completed += int(mask.sum())
+        if mask.any():
+            rewards.extend(np.asarray(trans["reward"])[mask].tolist())
+            # Completed transitions carry finite rewards and valid actions.
+            acts = np.asarray(trans["action"])[mask]
+            assert np.isfinite(np.asarray(trans["reward"])[mask]).all()
+            assert (acts >= 0).all()
+            assert (acts < 2 * 96 * 96).all()
+
+    # The initial batch was served and actions keep completing.
+    assert served_total >= 8, served_total
+    assert completed >= 1, completed
+
+    env = ls.env
+    # Simulation advanced and invariants hold.
+    assert int(jnp.max(env.simulation_steps)) > 500
+    z = np.asarray(env.cube_pos[..., 2])
+    status = np.asarray(env.cube_status)
+    live = status != 3  # not removed
+    assert (z[live] > -0.01).all()
+    # Pending bookkeeping: any env frozen awaiting service has an idle robot.
+    idle_any = np.asarray(jnp.any(env.fsm == 0, axis=1))
+    assert idle_any.shape == (4,)

@@ -39,6 +39,23 @@ def main(cfg):
         num_envs=cfg.get("num_parallel_envs", 32),
         seed=cfg.get("random_seed") or 0,
     )
+
+    # Resume (train.py:200-210 parity): policy weights + optimizer/replay.
+    if cfg.get("policy_path"):
+        from spatial_intention_maps_tpu.utils.checkpoint import load_policy
+
+        load_policy(cfg.policy_path, trainer)
+        print("=> loaded policy '{}'".format(cfg.policy_path))
+    if cfg.get("checkpoint_path"):
+        from spatial_intention_maps_tpu.utils.checkpoint import load_checkpoint
+
+        load_checkpoint(cfg.checkpoint_path, trainer)
+        print(
+            "=> loaded checkpoint '{}' (timestep {})".format(
+                cfg.checkpoint_path, trainer.timestep
+            )
+        )
+
     logger = MetricLogger(log_dir)
 
     ckpt_every = cfg.checkpoint_freq
