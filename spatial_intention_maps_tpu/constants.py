@@ -157,12 +157,16 @@ DEFAULT_ROBOT_COLLISION_PENALTY = 1.0
 # Fixed-shape capacities of the batched simulator (TPU-side choices; not part
 # of the reference).
 # ---------------------------------------------------------------------------
-MAX_WAYPOINTS = 12          # after line-of-sight simplification
+MAX_WAYPOINTS = 8           # after line-of-sight simplification
 BACKTRACE_MAX_STEPS = 512   # dense steepest-descent path length (pixels)
-BACKTRACE_STRIDE = 8        # subsample stride before LOS simplification
-LOS_SAMPLES = 96            # samples per line-of-sight segment test
-NUM_VIS_RAYS = 160          # FOV raycast rays over the 90 deg wedge
-NUM_VIS_STEPS = 104         # raycast samples along each ray (~1 px apart)
+# Stride bounds the blind-fallback chord at sharp corners: clips stay within
+# the robot-radius dilation margin of the configuration space.
+BACKTRACE_STRIDE = 4        # subsample stride before LOS simplification
+# LOS sample spacing must stay under ~4 px even for jumps spanning the whole
+# backtraced path (<= 448 px), or string pulling can clip thin blocked cells.
+LOS_SAMPLES = 112           # samples per line-of-sight segment test
+NUM_VIS_RAYS = 112          # FOV raycast rays over the 90 deg wedge
+NUM_VIS_STEPS = 64          # raycast samples along each ray (~1.6 px apart)
 SPAWN_REJECTION_TRIES = 16  # pose rejection-sampling attempts
 
 

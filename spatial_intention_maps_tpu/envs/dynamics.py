@@ -69,14 +69,20 @@ def _type_masks(params: EnvParams):
 
 
 def capsule_endpoints(params: EnvParams, pos, heading):
-    """(a, b): capsule axis endpoints per robot. pos (R,2), heading (R,)."""
+    """(a, b): capsule axis endpoints per robot. pos (R,2), heading (R,).
+
+    The capsule (radius ROBOT_R) approximates the backpack cylinder + base
+    box (envs.py:1019-1040).  The axis ends ROBOT_R short of the physical
+    front so the end cap terminates AT the front face — otherwise the cap
+    would bulge 3 cm past the blade and push cubes early / hit walls early.
+    """
     bo = constants.ROBOT_BACKPACK_OFFSET
     ee = jnp.asarray(params.ee_locations)
     hooks = jnp.asarray(params.has_hooks)
     front = jnp.where(hooks, ee + constants.END_EFFECTOR_THICKNESS, ee)
     d = _dir(heading)
     a = pos + bo * d
-    b = pos + front[:, None] * d
+    b = pos + jnp.maximum(front - ROBOT_R, bo)[:, None] * d
     return a, b
 
 
@@ -190,16 +196,42 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
     cube_heading = state.cube_heading
     avail = state.cube_status == CUBE_AVAILABLE
 
-    # 1) Robots push available cubes (disc vs capsule projection).
+    # 1) Robots push available cubes.  The front face acts as a FLAT blade
+    # (the reference robots push with a flat front, envs.py:1059): cubes
+    # within the blade's lateral span are pushed straight along the robot's
+    # heading; other contacts fall back to radial capsule projection.
     axis_pts = _capsule_points(params, new_pos, new_heading)  # (R, S, 2)
     p2 = cube_pos[:, :2]
+    rdir = _dir(new_heading)                                   # (R, 2)
+    rel = p2[:, None, :] - new_pos[None]                       # (C, R, 2)
+    fwd = jnp.einsum("crk,rk->cr", rel, rdir)
+    lat = rel[..., 0] * (-rdir[:, 1])[None] + rel[..., 1] * rdir[:, 0][None]
+    ee = jnp.asarray(params.ee_locations)
+    hooks = jnp.asarray(params.has_hooks)
+    front = jnp.where(hooks, ee + constants.END_EFFECTOR_THICKNESS, ee)  # (R,)
+    in_face = (
+        (jnp.abs(lat) <= constants.ROBOT_HALF_WIDTH)
+        & (fwd > 0)
+        & (fwd <= front[None] + CUBE_R)
+    )
+    pen_face = jnp.where(in_face, front[None] + CUBE_R - fwd, -jnp.inf)  # (C, R)
+
     dvec = p2[:, None, None, :] - axis_pts[None]              # (C, R, S, 2)
     dd = jnp.linalg.norm(dvec, axis=-1)                        # (C, R, S)
-    k = jnp.argmin(dd.reshape(c_n, -1), axis=1)
-    dmin = jnp.min(dd.reshape(c_n, -1), axis=1)
-    closest_vec = dvec.reshape(c_n, -1, 2)[jnp.arange(c_n), k]
-    pen = (ROBOT_R + CUBE_R) - dmin
-    push_dir = closest_vec / jnp.maximum(dmin, 1e-9)[:, None]
+    s_best = jnp.argmin(dd, axis=2)                            # (C, R)
+    d_axis = jnp.min(dd, axis=2)
+    pen_rad = (ROBOT_R + CUBE_R) - d_axis                      # (C, R)
+    rad_vec = jnp.take_along_axis(dvec, s_best[..., None, None], axis=2)[:, :, 0]
+    rad_dir = rad_vec / jnp.maximum(d_axis, 1e-9)[..., None]   # (C, R, 2)
+
+    use_face = pen_face > 0
+    pen_cr = jnp.where(use_face, pen_face, pen_rad)            # (C, R)
+    dir_cr = jnp.where(
+        use_face[..., None], jnp.broadcast_to(rdir[None], rad_dir.shape), rad_dir
+    )
+    r_best = jnp.argmax(pen_cr, axis=1)                        # (C,)
+    pen = jnp.take_along_axis(pen_cr, r_best[:, None], axis=1)[:, 0]
+    push_dir = jnp.take_along_axis(dir_cr, r_best[:, None, None], axis=1)[:, 0]
     do_push = (pen > 0) & avail & active
     p2 = p2 + jnp.where(do_push[:, None], push_dir * pen[:, None], 0.0)
 

@@ -245,18 +245,44 @@ def grids_for_robot(params: EnvParams, state: EnvState, r_dyn):
 # Action injection (Robot.store_new_action, envs.py:856-919)
 # ---------------------------------------------------------------------------
 
-def inject_action(params: EnvParams, state: EnvState, actions, percep=None) -> EnvState:
+def compute_action_target(params: EnvParams, state: EnvState, actions):
+    """Decode the flat action of the acting robot into the world end-effector
+    target (envs.py:856-868). Returns (has_action, acting, channel, pi, pj,
+    target_ee)."""
+    has_action = jnp.any(actions >= 0)
+    acting = jnp.argmax(actions >= 0)
+    a = jnp.maximum(actions[acting], 0)
+    ch = a // (N * N)
+    pi = (a // N) % N
+    pj = a % N
+    cur_p = state.robot_pos[acting]
+    cur_h = state.robot_heading[acting]
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    dx = ((pj.astype(jnp.float32) + 0.5) - N / 2) / ppm
+    dy = (N / 2 - (pi.astype(jnp.float32) + 0.5)) / ppm
+    dist = jnp.sqrt(dx ** 2 + dy ** 2)
+    theta = cur_h + jnp.arctan2(-dx, dy)
+    target_ee = cur_p + dist * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+    return has_action, acting, ch, pi, pj, target_ee
+
+
+def inject_action(params: EnvParams, state: EnvState, actions, percep=None,
+                  plan_dist_img=None) -> EnvState:
     """Store a new action for the (single) robot with actions[r] >= 0.
 
     If ``percep`` (a :func:`perception_pass` result computed on the same
     occupancy, with its awaiting robot == the acting robot) is provided, the
-    planner reuses its configuration space and snap payload instead of
-    recomputing them.
+    planner reuses its configuration space and snap payload; the fused loop
+    additionally passes ``plan_dist_img`` (the target-seeded distance image,
+    computed batched with the Pallas kernel) so no per-env sweep runs here.
     """
     h, w = params.map_shape
-    has_action = jnp.any(actions >= 0)
-    acting = jnp.argmax(actions >= 0)
-    a = jnp.maximum(actions[acting], 0)
+    has_action, acting, ch, pi, pj, target_ee = compute_action_target(
+        params, state, actions
+    )
+    cur_p = state.robot_pos[acting]
+    cur_h = state.robot_heading[acting]
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
 
     # Snapshot available-cube positions for pushing partial rewards at the
     # start of the step (envs.py:236-240).
@@ -267,22 +293,6 @@ def inject_action(params: EnvParams, state: EnvState, actions, percep=None) -> E
             has_action, snapshot, state.push_initial_cube_pos
         )
     )
-
-    # Unravel (channel, i, j) over (C_out, 96, 96) (envs.py:858).
-    ch = a // (N * N)
-    pi = (a // N) % N
-    pj = a % N
-
-    cur_p = state.robot_pos[acting]
-    cur_h = state.robot_heading[acting]
-
-    # Pixel -> egocentric offset -> world target (envs.py:865-868).
-    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
-    dx = ((pj.astype(jnp.float32) + 0.5) - N / 2) / ppm
-    dy = (N / 2 - (pi.astype(jnp.float32) + 0.5)) / ppm
-    dist = jnp.sqrt(dx ** 2 + dy ** 2)
-    theta = cur_h + jnp.arctan2(-dx, dy)
-    target_ee = cur_p + dist * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
 
     k = constants.MAX_WAYPOINTS
 
@@ -301,7 +311,7 @@ def inject_action(params: EnvParams, state: EnvState, actions, percep=None) -> E
         )
         wps_px, num_wp_sp, _ = paths.plan_path_pixels(
             cspace, snap_payload, jnp.stack([si, sj]), jnp.stack([ti, tj]),
-            params.num_pass_pairs,
+            params.num_pass_pairs, dist_img=plan_dist_img,
         )
         # Pixel waypoints -> world; endpoints replaced by the true positions
         # (envs.py:2492-2503).

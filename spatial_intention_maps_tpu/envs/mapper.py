@@ -161,25 +161,25 @@ def position_distance_image(params: EnvParams, cspace, snap_payload, position):
 _PTS_PER_SEGMENT = 160
 
 
-def _render_paths(params: EnvParams, global_map, points, valid, values_start, values_end):
-    """Scatter-max polyline segments with linearly interpolated values.
+def _polyline_samples(params: EnvParams, points, valid, values_start, values_end):
+    """Sample all polyline segments at once.
 
-    points: (K, 2) world positions; valid: (K,) point validity;
-    values: per-point ramp values (already clipped downstream).
+    points: (K, 2) world; valid: (K,); values per segment (K-1,).
+    Returns (ii, jj, vals, ok) flattened over (K-1)*T samples.
     """
     h, w = params.map_shape
-    k = points.shape[0]
-    for s in range(k - 1):
-        p0, p1 = points[s], points[s + 1]
-        seg_valid = valid[s] & valid[s + 1]
-        i0, j0 = geometry.position_to_pixel(p0[0], p0[1], h, w)
-        i1, j1 = geometry.position_to_pixel(p1[0], p1[1], h, w)
-        t = jnp.linspace(0.0, 1.0, _PTS_PER_SEGMENT)
-        ii = jnp.round(i0 + t * (i1 - i0)).astype(jnp.int32)
-        jj = jnp.round(j0 + t * (j1 - j0)).astype(jnp.int32)
-        vals = jnp.clip(values_start[s] + t * (values_end[s] - values_start[s]), 0.0, 1.0)
-        global_map = raster_ops.scatter_max(global_map, ii, jj, vals, seg_valid)
-    return global_map
+    i0, j0 = geometry.position_to_pixel(points[:-1, 0], points[:-1, 1], h, w)
+    i1, j1 = geometry.position_to_pixel(points[1:, 0], points[1:, 1], h, w)
+    t = jnp.linspace(0.0, 1.0, _PTS_PER_SEGMENT)
+    ii = jnp.round(i0[:, None] + t[None] * (i1 - i0)[:, None]).astype(jnp.int32)
+    jj = jnp.round(j0[:, None] + t[None] * (j1 - j0)[:, None]).astype(jnp.int32)
+    vals = jnp.clip(
+        values_start[:, None] + t[None] * (values_end - values_start)[:, None],
+        0.0,
+        1.0,
+    )
+    ok = (valid[:-1] & valid[1:])[:, None] & jnp.ones_like(ii, bool)
+    return ii.reshape(-1), jj.reshape(-1), vals.reshape(-1), ok.reshape(-1)
 
 
 def intention_path_points(params: EnvParams, state: EnvState, r):
@@ -228,6 +228,8 @@ def global_intention_or_history_map(params: EnvParams, state: EnvState, self_r, 
     h, w = params.map_shape
     g = jnp.zeros((h, w), jnp.float32)
     scale = params.intention_map_scale
+
+    all_ii, all_jj, all_vals, all_ok = [], [], [], []
     for r in range(params.num_robots):
         active = (state.fsm[r] != IDLE) & (r != self_r)
 
@@ -259,8 +261,24 @@ def global_intention_or_history_map(params: EnvParams, state: EnvState, self_r, 
         else:  # binary / line: constant value = scale
             v_start = jnp.full(seg_len.shape, scale)
             v_end = v_start
-        valid_all = valid & active
-        g = _render_paths(params, g, pts, valid_all, v_start, v_end)
+        ii, jj, vals, ok = _polyline_samples(
+            params, pts, valid & active, v_start, v_end
+        )
+        all_ii.append(ii)
+        all_jj.append(jj)
+        all_vals.append(vals)
+        all_ok.append(ok)
+
+    if all_ii:
+        # One scatter-max for every robot's whole path (scatters are
+        # expensive; 48 sequential ones dominated the observe cost).
+        g = raster_ops.scatter_max(
+            g,
+            jnp.concatenate(all_ii),
+            jnp.concatenate(all_jj),
+            jnp.concatenate(all_vals),
+            jnp.concatenate(all_ok),
+        )
 
     if params.intention_map_line_thickness > 1:
         g = raster_ops.grey_dilate_disk(g, params.intention_map_line_thickness - 1)

@@ -121,13 +121,17 @@ def plan_path_pixels(
     src_ij,
     tgt_ij,
     num_pass_pairs=3,
+    dist_img=None,
 ):
     """Full pixel-space planner: snap endpoints to valid cspace cells
     (envs.py:2488-2489), target-seeded wavefront, backtrace from source,
-    simplify.  Returns (waypoints_px (K,2) f32, num_wp, dist_img)."""
+    simplify.  ``dist_img`` may be precomputed (batched callers run the
+    target-seeded sweep through the Pallas kernel).  Returns
+    (waypoints_px (K,2) f32, num_wp, dist_img)."""
     si, sj = wavefront.snap_to_valid(snap_payload, src_ij[0], src_ij[1])
-    ti, tj = wavefront.snap_to_valid(snap_payload, tgt_ij[0], tgt_ij[1])
-    dist_img = wavefront.distance_image(cspace, ti, tj, num_pass_pairs)
+    if dist_img is None:
+        ti, tj = wavefront.snap_to_valid(snap_payload, tgt_ij[0], tgt_ij[1])
+        dist_img = wavefront.distance_image(cspace, ti, tj, num_pass_pairs)
     path, path_len = backtrace(dist_img, jnp.stack([si, sj]))
     waypoints, num_wp = simplify_path(cspace, path, path_len)
     return waypoints, num_wp, dist_img

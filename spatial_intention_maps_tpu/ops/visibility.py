@@ -29,10 +29,12 @@ from .. import constants
 def forward_visible_mask(wall_map, position, heading):
     """Bool (H, W): cells visible to the forward-facing camera.
 
-    Polar raycast: NUM_VIS_RAYS rays over the 90 deg wedge, NUM_VIS_STEPS
-    samples (~1 px apart) along each.  A wall cell blocks everything beyond
-    it but is itself visible; floor cells are visible only beyond the
-    near-ground limit.
+    Scatter-free formulation (scatters dominated the map-refresh cost): a
+    polar ray march finds the first-blocker distance per ray (gathers only),
+    then every map pixel tests densely against its ray bin — wedge membership,
+    ground range, and first-blocker occlusion.  Wall pixels are visible from
+    range 0 (walls are taller than the camera); floor/cube/receptacle pixels
+    only beyond the near-ground limit (envs.py:1979-2007 geometry).
     """
     h, w = wall_map.shape
     ppm = constants.LOCAL_MAP_PIXELS_PER_METER
@@ -43,26 +45,46 @@ def forward_visible_mask(wall_map, position, heading):
     cam_y = position[1] + constants.FORWARD_CAMERA_OFFSET * jnp.sin(heading)
 
     half_fov = constants.FORWARD_CAMERA_HALF_FOV_H
-    angles = heading + jnp.linspace(-half_fov, half_fov, n_rays)
     max_d = constants.FORWARD_VISIBLE_MAX_DIST
     min_d = constants.FORWARD_VISIBLE_MIN_DIST
-    dists = jnp.linspace(0.0, max_d, n_steps)
 
-    # (n_rays, n_steps) sample points
+    # Ray march: first blocker distance per ray.
+    angles = heading + jnp.linspace(-half_fov, half_fov, n_rays)
+    dists = jnp.linspace(0.0, max_d, n_steps)
     px = cam_x + jnp.cos(angles)[:, None] * dists[None, :]
     py = cam_y + jnp.sin(angles)[:, None] * dists[None, :]
     gi = jnp.clip(jnp.floor(h / 2 - py * ppm).astype(jnp.int32), 0, h - 1)
     gj = jnp.clip(jnp.floor(w / 2 + px * ppm).astype(jnp.int32), 0, w - 1)
-
     hit = wall_map[gi, gj]
-    # blocked_before[k] = a wall was hit strictly before sample k on this ray
-    blocked_before = jnp.cumsum(hit.astype(jnp.int32), axis=1) - hit.astype(jnp.int32) > 0
-    is_floor_range = dists[None, :] >= min_d
-    visible = (~blocked_before) & (hit | is_floor_range)
+    first_hit = jnp.min(jnp.where(hit, dists[None, :], jnp.inf), axis=1)  # (n_rays,)
 
-    mask = jnp.zeros((h, w), bool)
-    mask = mask.at[gi.reshape(-1), gj.reshape(-1)].max(visible.reshape(-1))
-    return mask
+    # Dense per-pixel test.  The per-bin blocker lookup is a one-hot matmul
+    # (MXU) — a plain table gather per pixel is ~14 ns/element on the VPU and
+    # dominated the map-refresh cost.
+    from ..envs.geometry import pixel_centers
+
+    xs, ys = pixel_centers(h, w)
+    rx = xs - cam_x
+    ry = ys - cam_y
+    dist = jnp.sqrt(rx * rx + ry * ry)
+    ang = jnp.arctan2(ry, rx)
+    rel = jnp.mod(ang - (heading - half_fov) + jnp.pi, 2 * jnp.pi) - jnp.pi
+    in_wedge = (rel >= 0) & (rel <= 2 * half_fov)
+    bin_idx = jnp.clip(
+        jnp.round(rel / (2 * half_fov) * (n_rays - 1)).astype(jnp.int32), 0, n_rays - 1
+    )
+    onehot = (
+        bin_idx[..., None] == jnp.arange(n_rays, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    blocker = jnp.einsum(
+        "hwk,k->hw", onehot, jnp.minimum(first_hit, 1e9).astype(jnp.float32),
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    px_m = 1.0 / ppm
+    not_occluded = dist <= blocker + 1.5 * px_m
+    in_range = dist <= max_d
+    near_ok = (dist >= min_d) | wall_map
+    return in_wedge & in_range & near_ok & not_occluded
 
 
 def overhead_visible_mask(wall_map, position, heading):

@@ -223,9 +223,40 @@ class FusedLoop:
             actions_rb = actions_rb.at[jnp.arange(m), robot].set(
                 jnp.where(row_valid, acts, -1)
             )
-            injected = jax.vmap(
-                lambda s, a, p: env_core.inject_action(params, s, a, p)
-            )(merged, actions_rb, percep)
+
+            # Target-seeded planning distance images for all served envs in
+            # ONE batched (Pallas) sweep, instead of per-env lax sweeps
+            # inside the vmapped inject.
+            plan_dist = None
+            if params.use_shortest_path_movement:
+                h_px, w_px = params.map_shape
+                _, _, _, _, _, tee = jax.vmap(
+                    lambda s, a: env_core.compute_action_target(params, s, a)
+                )(merged, actions_rb)
+                menv = jnp.arange(m)
+                cs_act = percep["cspaces"][menv, robot]       # (M, H, W)
+                snap_act = percep["snaps"][menv, robot]
+                ti, tj = env_core.geometry.position_to_pixel(
+                    tee[:, 0], tee[:, 1], h_px, w_px
+                )
+                flat = snap_act[menv, ti, tj]
+                ti, tj = flat // w_px, flat % w_px
+                free_b = cs_act.at[menv, ti, tj].set(True)
+                dist0 = jnp.full((m, h_px, w_px), 1e9, jnp.float32)
+                dist0 = dist0.at[menv, ti, tj].set(0.0)
+                pay0 = jnp.zeros((m, h_px, w_px), jnp.int32)
+                plan_dist, _ = env_core.wavefront.sweep_batched(
+                    dist0, pay0, free_b, params.num_pass_pairs
+                )
+
+            if plan_dist is None:
+                injected = jax.vmap(
+                    lambda s, a, p: env_core.inject_action(params, s, a, p)
+                )(merged, actions_rb, percep)
+            else:
+                injected = jax.vmap(
+                    lambda s, a, p, pd: env_core.inject_action(params, s, a, p, pd)
+                )(merged, actions_rb, percep, plan_dist)
 
             # ---- Pending-pair bookkeeping ----
             seed = (jnp.arange(r_n)[None, :] == robot[:, None]) & row_valid[:, None]

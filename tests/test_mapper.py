@@ -112,3 +112,39 @@ def test_dilation_matches_disk():
                 if 0 <= ii < 40 and 0 <= jj < 50:
                     exp[ii, jj] = True
         np.testing.assert_array_equal(got, exp)
+
+
+def test_forward_visibility_wedge():
+    """Dense FOV visibility: wedge membership, near/far limits, occlusion."""
+    import math as m
+
+    import jax.numpy as jnp
+
+    from spatial_intention_maps_tpu.ops import visibility
+
+    h, w = constants.global_map_shape(1.0, 1.0)
+    wall = np.zeros((h, w), bool)
+    # A wall segment 0.4 m ahead of the camera (robot at origin facing +x),
+    # divider-thick (~5 px; ray sampling is ~1.6 px so 1-px walls would be
+    # hoppable — real obstacles are never thinner than a divider).
+    i, j = geometry.position_to_pixel(jnp.float32(0.4), jnp.float32(0.0), h, w)
+    wall[int(i) - 10 : int(i) + 10, int(j) : int(j) + 5] = True
+    # (i indexes y; the wall spans y in [-0.1, 0.1] at x in [0.4, 0.45])
+
+    mask = np.asarray(
+        visibility.forward_visible_mask(
+            jnp.asarray(wall), jnp.zeros(2), jnp.float32(0.0)
+        )
+    )
+
+    def vis_at(x, y):
+        ii, jj = geometry.position_to_pixel(jnp.float32(x), jnp.float32(y), h, w)
+        return bool(mask[int(ii), int(jj)])
+
+    assert vis_at(0.3, 0.0)        # in front, before the wall
+    assert vis_at(0.4, 0.0)        # the wall face itself
+    assert not vis_at(0.6, 0.0)    # occluded behind the wall
+    assert vis_at(0.6, 0.4)        # in the wedge, past the wall's extent
+    assert not vis_at(-0.2, 0.0)   # behind the robot
+    assert not vis_at(0.2, 0.3)    # outside the 90-degree wedge (atan2 > 45)
+    assert not vis_at(0.01, 0.0)   # inside the near-ground blind zone
