@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants
 from ..ops import raster_ops, visibility, wavefront
@@ -287,7 +288,13 @@ def global_intention_or_history_map(params: EnvParams, state: EnvState, self_r, 
 
 def intention_channels(params: EnvParams, state: EnvState, self_r):
     """Baseline intention channels (envs.py:2348-2377), ordered nearest ->
-    furthest other robot."""
+    furthest other robot.
+
+    Returns ``(global_chans, local_chans)``: spatial-encoded channels come
+    back as GLOBAL (H, W) maps so the caller can fold them into the one
+    batched egocentric gather; nonspatial channels are constant 96x96 local
+    images appended after the crop.
+    """
     h, w = params.map_shape
     n = constants.LOCAL_MAP_PIXEL_WIDTH
     pos = state.robot_pos[self_r]
@@ -297,6 +304,7 @@ def intention_channels(params: EnvParams, state: EnvState, self_r):
     # nearest-first (envs.py:2350-2354).
     order = jnp.argsort(dists)
 
+    glob_chans = []
     chans = []
     # Iterate over rank slots; skip rank 0 (self, distance 0).
     for rank in range(1, params.num_robots):
@@ -308,7 +316,7 @@ def intention_channels(params: EnvParams, state: EnvState, self_r):
             i, j = geometry.position_to_pixel(tgt[0], tgt[1], h, w)
             g = g.at[i, j].set(jnp.where(active, params.intention_map_scale, 0.0))
             g = raster_ops.grey_dilate_disk(g, params.intention_map_line_thickness - 1)
-            chans.append(raster_ops.extract_local_map(g, pos, heading))
+            glob_chans.append(g)
         else:  # nonspatial (envs.py:2368-2375)
             d = jnp.linalg.norm(tgt - pos)
             theta = heading - jnp.arctan2(tgt[1] - pos[1], tgt[0] - pos[0])
@@ -320,7 +328,7 @@ def intention_channels(params: EnvParams, state: EnvState, self_r):
                     * coord
                     * jnp.ones((n, n), jnp.float32)
                 )
-    return chans
+    return glob_chans, chans
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +356,11 @@ def build_state(params: EnvParams, state: EnvState, robot_index, sp_recep_img, s
     r = robot_index
     pos = state.robot_pos[r]
     heading = state.robot_heading[r]
-    channels = []
+    # Global (H, W) channel images, cropped together in ONE egocentric gather
+    # (gathers are latency-bound per index on TPU; batching the channel dim
+    # into contiguous trailing slices divides the index count by C).
+    glob_channels = []
+    subtract_min = []  # static per-channel: local crop gets `- min` applied
 
     # Overhead map: persistent seg + live robot stamps (envs.py:2243-2248)
     seg_overlay, robot_map_g = robot_seg_overlay(params, state)
@@ -356,33 +368,54 @@ def build_state(params: EnvParams, state: EnvState, robot_index, sp_recep_img, s
     overhead_f = jnp.where(
         seg_overlay > 0, seg_overlay.astype(jnp.float32), overhead.astype(jnp.float32)
     ) / constants.SEG_DIVISOR
-    channels.append(raster_ops.extract_local_map(overhead_f, pos, heading))
+    glob_channels.append(overhead_f)
+    subtract_min.append(False)
 
     if params.use_robot_map:
-        channels.append(raster_ops.extract_local_map(robot_map_g, pos, heading))
+        glob_channels.append(robot_map_g)
+        subtract_min.append(False)
 
     if params.use_distance_to_receptacle_map:
-        channels.append(
-            raster_ops.local_distance_map(euclidean_receptacle_map(params), pos, heading)
-        )
+        glob_channels.append(euclidean_receptacle_map(params))
+        subtract_min.append(True)
 
     if params.use_shortest_path_to_receptacle_map:
         img = wavefront.finite_or(sp_recep_img) * params.shortest_path_map_scale
-        channels.append(raster_ops.local_distance_map(img, pos, heading))
+        glob_channels.append(img)
+        subtract_min.append(True)
 
     if params.use_shortest_path_map:
         img = wavefront.finite_or(sp_self_img) * params.shortest_path_map_scale
-        channels.append(raster_ops.local_distance_map(img, pos, heading))
+        glob_channels.append(img)
+        subtract_min.append(True)
 
     if params.use_history_map:
         g = global_intention_or_history_map(params, state, r, "history")
-        channels.append(raster_ops.extract_local_map(g, pos, heading))
+        glob_channels.append(g)
+        subtract_min.append(False)
 
     if params.use_intention_map:
         g = global_intention_or_history_map(params, state, r, params.intention_map_encoding)
-        channels.append(raster_ops.extract_local_map(g, pos, heading))
+        glob_channels.append(g)
+        subtract_min.append(False)
 
+    local_channels = []
     if params.use_intention_channels:
-        channels.extend(intention_channels(params, state, r))
+        ic_glob, ic_local = intention_channels(params, state, r)
+        glob_channels.extend(ic_glob)
+        subtract_min.extend([False] * len(ic_glob))
+        local_channels = ic_local
 
-    return jnp.stack(channels, axis=-1).astype(jnp.float32)
+    stacked = jnp.stack(
+        [g.astype(jnp.float32) for g in glob_channels], axis=-1
+    )
+    local = raster_ops.extract_local_maps(stacked, pos, heading)  # (96, 96, C)
+    if any(subtract_min):
+        mins = jnp.min(local, axis=(0, 1), keepdims=True)
+        mask = np.asarray(subtract_min)[None, None, :]
+        local = local - jnp.where(mask, mins, 0.0)
+    if local_channels:
+        local = jnp.concatenate(
+            [local] + [c[..., None] for c in local_channels], axis=-1
+        )
+    return local.astype(jnp.float32)

@@ -45,21 +45,49 @@ def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
         better = nd[k] < dist_img[cur[0], cur[1]]
         return jnp.where(better, jnp.stack([ni[k], nj[k]]), cur)
 
-    def step(cur, _):
+    start = jnp.asarray(start_ij, jnp.int32)
+    n_iters = (num_steps - 1 + _DESCENT_UNROLL - 1) // _DESCENT_UNROLL
+
+    # Early-exit while loop: under vmap this runs until ALL batch lanes have
+    # converged (reached the seed / a local min), so the sequential depth is
+    # the longest actual path in the service batch, not the 512-step budget.
+    # The loop counter `k` stays unbatched (uniform across lanes), keeping the
+    # path write a dynamic_update_slice rather than a scatter.
+    def descend_block(cur):
         outs = []
         for _u in range(_DESCENT_UNROLL):
             cur = descend(cur)
             outs.append(cur)
-        return cur, jnp.stack(outs)
+        return jnp.stack(outs)  # (_DESCENT_UNROLL, 2)
 
-    start = jnp.asarray(start_ij, jnp.int32)
-    n_iters = (num_steps - 1 + _DESCENT_UNROLL - 1) // _DESCENT_UNROLL
-    _, path = jax.lax.scan(step, start, None, length=n_iters)
-    path = jnp.concatenate(
-        [start[None], path.reshape(-1, 2)[: num_steps - 1]], axis=0
-    )
-    moved = jnp.any(path[1:] != path[:-1], axis=-1)
-    path_len = 1 + jnp.sum(moved.astype(jnp.int32))
+    def cond(carry):
+        k, _cur, _path, _plen, done = carry
+        return (k < n_iters) & ~done
+
+    def body(carry):
+        k, cur, path, plen, done = carry
+        block = descend_block(cur)
+        prev = jnp.concatenate([cur[None], block[:-1]], axis=0)
+        moved = jnp.any(block != prev, axis=-1)
+        path = jax.lax.dynamic_update_slice(
+            path, block, (1 + k * _DESCENT_UNROLL, jnp.int32(0))
+        )
+        plen = plen + jnp.sum(moved.astype(jnp.int32))
+        done = ~jnp.any(moved)
+        return k + 1, block[-1], path, plen, done
+
+    path0 = jnp.zeros((1 + n_iters * _DESCENT_UNROLL, 2), jnp.int32)
+    path0 = path0.at[0].set(start)
+    init = (jnp.int32(0), start, path0, jnp.int32(1), jnp.bool_(False))
+    _, final, path, path_len, _ = jax.lax.while_loop(cond, body, init)
+    # Tail rows past the last written block are never read downstream
+    # (simplify_path clips every index to path_len - 1), but fill them with
+    # the final cell anyway so the array is self-consistent.
+    rows = jnp.arange(path.shape[0])
+    written = rows <= jnp.maximum(path_len - 1, 0)
+    path = jnp.where(written[:, None], path, final[None])
+    path = path[:num_steps]
+    path_len = jnp.minimum(path_len, num_steps)
     return path, path_len
 
 

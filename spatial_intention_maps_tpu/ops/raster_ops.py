@@ -155,6 +155,24 @@ def extract_local_map(global_map, position, heading):
     return global_map[..., gi, gj]
 
 
+def extract_local_maps(global_maps_hwc, position, heading):
+    """Batched `extract_local_map` over a channel-stacked (H, W, C) image.
+
+    One gather with trailing contiguous channel slices instead of C
+    element-gathers: the gather descriptor count drops from 96*96*C to
+    96*96, which is the dominant cost on TPU (random gathers are
+    latency-bound per index, ~independent of the contiguous slice size).
+    """
+    h, w, _ = global_maps_hwc.shape
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    wx, wy = local_pixel_world_offsets(heading)
+    px = position[0] + wx
+    py = position[1] + wy
+    gi = jnp.clip(jnp.floor(h / 2 - py * ppm).astype(jnp.int32), 0, h - 1)
+    gj = jnp.clip(jnp.floor(w / 2 + px * ppm).astype(jnp.int32), 0, w - 1)
+    return global_maps_hwc[gi, gj, :]
+
+
 def local_distance_map(global_map, position, heading):
     """_get_local_distance_map (envs.py:2212-2215): crop, then subtract min."""
     local = extract_local_map(global_map, position, heading)
