@@ -476,3 +476,80 @@ class FusedTrainer:
                 )
                 log_fn(self.timestep, metrics, m, None)
         return metrics
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip fused round (env batch sharded over a device mesh)
+# ---------------------------------------------------------------------------
+
+def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
+    """shard_map the fused round over an env-sharded ``jax.sharding.Mesh``.
+
+    The round is data-parallel per env except for service selection (the
+    argsort that picks up to ``capacity`` envs needing an action); selection
+    runs PER SHARD with the local capacity, which preserves semantics — envs
+    past a shard's capacity simply wait a round, exactly as in the
+    single-chip loop.  Episode metrics are ``psum``-reduced over the mesh so
+    every shard returns the global sums; transitions come back sharded
+    (leading dim ``n_shards * capacity``).
+
+    ``loop`` must be built with PER-SHARD sizes (``num_envs`` = envs per
+    device).  Returns ``(sharded_round, global_init)``:
+
+    * ``global_init(key) -> LoopState`` — a LoopState over all
+      ``n * num_envs`` envs with per-shard RNG keys (``key`` leaf shaped
+      (n, 2), ``round_idx`` shaped (n,)), laid out for ``P(axis)`` sharding.
+    * ``sharded_round(ls, variables, eps) -> (ls, trans, metrics)`` — jitted.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    spec = P(axis)
+    # Pytree-prefix specs: the single P for ``env`` broadcasts over the whole
+    # EnvState subtree (every env leaf is batched on its leading dim).
+    ls_specs = LoopState(
+        env=spec,
+        stored_obs=spec, stored_robot=spec, has_obs=spec,
+        pend_obs=spec, pend_act=spec, pend_has=spec,
+        key=spec, round_idx=spec,
+    )
+
+    def body(ls, variables, eps):
+        local = ls.replace(key=ls.key[0], round_idx=ls.round_idx[0])
+        new_ls, trans, metrics = loop._round(local, variables, eps, False)
+        metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
+        new_ls = new_ls.replace(
+            key=new_ls.key[None], round_idx=new_ls.round_idx[None]
+        )
+        return new_ls, trans, metrics
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ls_specs, P(), P()),
+        out_specs=(ls_specs, spec, P()),
+        check_rep=False,
+    )
+    sharded = jax.jit(sharded)
+
+    def global_init(key):
+        keys = jax.random.split(key, n)
+        ls_n = jax.vmap(loop.init)(keys)  # env leaves (n, B_local, ...)
+
+        def merge(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        return LoopState(
+            env=jax.tree.map(merge, ls_n.env),
+            stored_obs=merge(ls_n.stored_obs),
+            stored_robot=merge(ls_n.stored_robot),
+            has_obs=merge(ls_n.has_obs),
+            pend_obs=merge(ls_n.pend_obs),
+            pend_act=merge(ls_n.pend_act),
+            pend_has=merge(ls_n.pend_has),
+            key=ls_n.key,            # (n, 2): per-shard RNG streams
+            round_idx=ls_n.round_idx,  # (n,)
+        )
+
+    return sharded, global_init
