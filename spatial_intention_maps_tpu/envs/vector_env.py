@@ -149,5 +149,35 @@ class SimEnv:
         ]
         return state, reward_nested, bool(done), info_py
 
+    def set_poses(self, robot_pos=None, robot_heading=None, cube_pos=None):
+        """Pose-editor hook (the reference GUI's drag/rotate of PyBullet
+        bodies, tools_interactive_gui.py).  Teleports robots (body + servo
+        target, so the controller doesn't drag them back) and/or cubes, then
+        re-observes so the awaiting robot's state reflects the edit.
+
+        robot_pos: (R, 2) | None; robot_heading: (R,) | None;
+        cube_pos: (C, 2 or 3) | None.  Returns the nested state list.
+        """
+        import jax.numpy as jnp
+
+        st = self.state
+        if robot_pos is not None:
+            rp = jnp.asarray(robot_pos, jnp.float32)
+            st = st.replace(robot_pos=rp, target_pos=rp)
+        if robot_heading is not None:
+            rh = jnp.asarray(robot_heading, jnp.float32)
+            st = st.replace(robot_heading=rh, target_heading=rh)
+        if cube_pos is not None:
+            cp = jnp.asarray(cube_pos, jnp.float32)
+            if cp.shape[-1] == 2:
+                cp = jnp.concatenate(
+                    [cp, self.state.cube_pos[:, 2:]], axis=-1
+                )
+            st = st.replace(cube_pos=cp)
+        self.state = st
+        obs, r, g = env_core.observe_standalone(self.params, st)
+        self._obs, self._obs_robot, self._obs_group = obs, r, g
+        return self.get_state()
+
     def close(self):
         pass
