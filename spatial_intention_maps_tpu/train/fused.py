@@ -428,6 +428,9 @@ class FusedTrainer:
         next_target_sync = cfg.target_update_freq
         t_start = _time.time()
         metrics = {}
+        last_tinfo = [None] * self.policy.num_groups
+        log_every_rounds = 8
+        round_count = 0
 
         while self.timestep < total_with_warmup:
             eps = exploration_eps(cfg, self.timestep, learning_starts)
@@ -457,15 +460,26 @@ class FusedTrainer:
                             self.train_states[g], self.buffers[g], ku,
                             cfg.discount_factors[g], g,
                         )
-                        metrics[f"loss/group_{g}"] = float(tinfo["loss"])
-                        metrics[f"td_error/group_{g}"] = float(tinfo["td_error"])
+                        # Keep device-side; converted only on log rounds (a
+                        # float() here is a blocking tunnel round-trip per
+                        # update on remote-attached TPUs).
+                        last_tinfo[g] = tinfo
                 if self.timestep >= next_target_sync:
                     for g in range(self.policy.num_groups):
                         self.train_states[g] = self.dqn.sync_target(self.train_states[g])
                     next_target_sync += cfg.target_update_freq
 
-            if log_fn is not None:
+            round_count += 1
+            if log_fn is not None and (
+                round_count % log_every_rounds == 0
+                or self.timestep >= total_with_warmup
+            ):
                 elapsed = _time.time() - t_start
+                for g, tinfo in enumerate(last_tinfo):
+                    if tinfo is not None:
+                        metrics[f"loss/group_{g}"] = float(tinfo["loss"])
+                        metrics[f"td_error/group_{g}"] = float(tinfo["td_error"])
+                        last_tinfo[g] = None
                 metrics.update(
                     timestep=self.timestep,
                     episodes=self.episode,

@@ -23,14 +23,21 @@ def _load_tree(path: Path, target=None):
     return ckptr.restore(Path(path).resolve(), item=target)
 
 
-def save_checkpoint(checkpoint_dir, timestep, trainer, prune=True):
+def save_checkpoint(checkpoint_dir, timestep, trainer, prune=True,
+                    include_buffers=True):
+    """``include_buffers=False`` writes the full checkpoint without the
+    replay buffers (policy/optimizer state only).  On a remote-attached TPU
+    the buffers are by far the largest device->host transfer, so the trainer
+    includes them only on a slower cadence (reference train.py:331 pickles
+    buffers every save — local-disk economics, not remote-tunnel ones)."""
     checkpoint_dir = Path(checkpoint_dir)
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
+    # Like the reference (train.py:309-327), the policy artifact carries the
+    # policy nets only — target nets are re-synced from them at resume.
     policy_tree = {
         "timestep": timestep,
         "variables": [ts.variables for ts in trainer.train_states],
-        "target_variables": [ts.target_variables for ts in trainer.train_states],
     }
     if trainer.policy.use_predicted_intention:
         policy_tree["intention_variables"] = [
@@ -42,8 +49,9 @@ def save_checkpoint(checkpoint_dir, timestep, trainer, prune=True):
         "timestep": timestep,
         "episode": trainer.episode,
         "opt_states": [ts.opt_state for ts in trainer.train_states],
-        "buffers": trainer.buffers,
     }
+    if include_buffers:
+        full_tree["buffers"] = trainer.buffers
     _save_tree(checkpoint_dir / f"checkpoint_{timestep:08d}", full_tree)
 
     if prune:
@@ -56,12 +64,18 @@ def save_checkpoint(checkpoint_dir, timestep, trainer, prune=True):
 
 
 def load_policy(policy_path, trainer=None):
-    tree = _load_tree(policy_path)
+    # Restore straight to device: orbax returns numpy trees, and feeding
+    # numpy leaves into the jitted round would re-upload them host->device
+    # EVERY call (seconds per round through a remote-attached TPU tunnel).
+    tree = jax.device_put(_load_tree(policy_path))
+    # Older policy checkpoints stored target nets; new ones re-sync targets
+    # from the policy nets (matching reference resume, train.py:208-214).
+    targets = tree.get("target_variables", tree["variables"])
     if trainer is not None:
         for g, ts in enumerate(trainer.train_states):
             trainer.train_states[g] = ts.replace(
                 variables=tree["variables"][g],
-                target_variables=tree["target_variables"][g],
+                target_variables=targets[g],
                 intention_variables=(
                     tree.get("intention_variables", [None] * len(trainer.train_states))[g]
                 ),
@@ -70,12 +84,14 @@ def load_policy(policy_path, trainer=None):
 
 
 def load_checkpoint(checkpoint_path, trainer):
-    tree = _load_tree(checkpoint_path)
+    tree = jax.device_put(_load_tree(checkpoint_path))  # see load_policy
     trainer.timestep = int(tree["timestep"])
     trainer.episode = int(tree["episode"])
     for g, ts in enumerate(trainer.train_states):
         trainer.train_states[g] = ts.replace(opt_state=tree["opt_states"][g])
-    # Buffers restore as raw arrays; rewrap.
-    for g, buf in enumerate(tree["buffers"]):
+    # Buffers restore as raw arrays; rewrap.  Buffer-less checkpoints (fast
+    # cadence on remote-tunnel TPUs) resume with empty buffers, like the
+    # reference's policy-only resume path.
+    for g, buf in enumerate(tree.get("buffers", [])):
         trainer.buffers[g] = trainer.buffers[g].replace(**buf)
     return tree

@@ -95,7 +95,14 @@ def main(cfg):
                 print("qmap visualization failed:", e)
             next_vis += ckpt_every
         if timestep >= next_ckpt:
-            save_checkpoint(checkpoint_dir, timestep, trainer)
+            # Replay buffers are the dominant device->host transfer on a
+            # remote TPU; include them every 10th save (and always resumable
+            # from the policy + opt state either way).
+            nth = int(next_ckpt // ckpt_every)
+            save_checkpoint(
+                checkpoint_dir, timestep, trainer,
+                include_buffers=(nth % 10 == 0),
+            )
             cfg.policy_path = str(checkpoint_dir / f"policy_{timestep:08d}")
             cfg.checkpoint_path = str(checkpoint_dir / f"checkpoint_{timestep:08d}")
             config_mod.save_config(log_dir / "config.yml", cfg)
