@@ -87,3 +87,41 @@ def test_dqn_update_runs_and_learns():
     t0 = jax.tree.leaves(tsn.target_variables["params"])[0]
     pn = jax.tree.leaves(tsn.variables["params"])[0]
     np.testing.assert_allclose(np.asarray(t0), np.asarray(pn))
+
+
+def test_intention_update_learns():
+    """BCE intention training (train.py:143-158 parity): a tiny FCN learns to
+    reproduce a synthetic intention channel from the other channels."""
+    import jax
+    import jax.numpy as jnp
+
+    from spatial_intention_maps_tpu.models import FCN
+    from spatial_intention_maps_tpu.train import dqn
+
+    model = FCN(num_output_channels=2, layer_planes=(8, 8, 8, 8), head_planes=(8, 8))
+    imodel = FCN(num_output_channels=1, layer_planes=(8, 8, 8, 8), head_planes=(8, 8))
+    key = jax.random.PRNGKey(0)
+    n_ch = 3
+    variables = model.init(key, jnp.zeros((1, 96, 96, n_ch)), train=False)
+    ivariables = imodel.init(key, jnp.zeros((1, 96, 96, n_ch - 1)), train=False)
+    opt = dqn.make_optimizer(0.05, 1e-4, 100)
+    iopt = dqn.make_optimizer(0.05, 1e-4, 100)
+    ts = dqn.create_train_state(
+        model, variables, opt,
+        intention_model=imodel, intention_variables=ivariables,
+        intention_optimizer=iopt,
+    )
+
+    # Ground-truth intention = thresholded copy of channel 0 (learnable map).
+    k1, _ = jax.random.split(key)
+    x = jax.random.uniform(k1, (8, 96, 96, n_ch - 1))
+    gt = (x[..., :1] > 0.5).astype(jnp.float32)
+    batch = {"state": jnp.concatenate([x, gt], axis=-1)}
+
+    update = jax.jit(lambda ts, b: dqn.intention_update(imodel, iopt, ts, b))
+    ts, info0 = update(ts, batch)
+    losses = [float(info0["loss"])]
+    for _ in range(30):
+        ts, info = update(ts, batch)
+        losses.append(float(info["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
