@@ -50,6 +50,10 @@ def save_checkpoint(checkpoint_dir, timestep, trainer, prune=True,
         "episode": trainer.episode,
         "opt_states": [ts.opt_state for ts in trainer.train_states],
     }
+    if trainer.policy.use_predicted_intention:
+        full_tree["intention_opt_states"] = [
+            ts.intention_opt_state for ts in trainer.train_states
+        ]
     if include_buffers:
         full_tree["buffers"] = trainer.buffers
     _save_tree(checkpoint_dir / f"checkpoint_{timestep:08d}", full_tree)
@@ -84,14 +88,33 @@ def load_policy(policy_path, trainer=None):
 
 
 def load_checkpoint(checkpoint_path, trainer):
-    tree = jax.device_put(_load_tree(checkpoint_path))  # see load_policy
+    # Orbax restores namedtuple-based states (optax TraceState etc.) as raw
+    # dicts unless given a structure target — restore against the trainer's
+    # live pytrees so optimizer/buffer states come back with their real
+    # types, then device_put once (see load_policy).
+    raw = _load_tree(checkpoint_path)
+    target = {
+        "timestep": raw["timestep"],
+        "episode": raw["episode"],
+        "opt_states": [ts.opt_state for ts in trainer.train_states],
+    }
+    if "intention_opt_states" in raw:
+        target["intention_opt_states"] = [
+            ts.intention_opt_state for ts in trainer.train_states
+        ]
+    if "buffers" in raw:
+        target["buffers"] = list(trainer.buffers)
+    tree = jax.device_put(_load_tree(checkpoint_path, target=target))
     trainer.timestep = int(tree["timestep"])
     trainer.episode = int(tree["episode"])
     for g, ts in enumerate(trainer.train_states):
         trainer.train_states[g] = ts.replace(opt_state=tree["opt_states"][g])
-    # Buffers restore as raw arrays; rewrap.  Buffer-less checkpoints (fast
-    # cadence on remote-tunnel TPUs) resume with empty buffers, like the
-    # reference's policy-only resume path.
+        if "intention_opt_states" in tree:
+            trainer.train_states[g] = trainer.train_states[g].replace(
+                intention_opt_state=tree["intention_opt_states"][g]
+            )
+    # Buffer-less checkpoints (fast cadence on remote-tunnel TPUs) resume
+    # with empty buffers, like the reference's policy-only resume path.
     for g, buf in enumerate(tree.get("buffers", [])):
-        trainer.buffers[g] = trainer.buffers[g].replace(**buf)
+        trainer.buffers[g] = buf
     return tree
