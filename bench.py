@@ -30,6 +30,10 @@ def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "512"))
     num_rounds = int(os.environ.get("BENCH_NUM_ROUNDS", "40"))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", "64"))
+    # random: env-only fused loop (primary driver metric).
+    # policy: FCN inference in the loop (the north-star configuration).
+    # train:  policy + replay push + Double-DQN updates at train_freq=4.
+    mode = os.environ.get("BENCH_MODE", "random")
 
     params = EnvParams.from_robot_config(
         [{"lifting_robot": 4}],
@@ -40,25 +44,69 @@ def main():
         use_intention_map=True,
         intention_map_encoding="ramp",
     )
-    loop = FusedLoop(
-        params,
-        num_envs=num_envs,
-        num_channels=params.num_state_channels,
-        substeps_per_round=substeps,
-    )
-    ls = loop.init(jax.random.PRNGKey(0))
+
+    if mode in ("policy", "train"):
+        from spatial_intention_maps_tpu.train.fused import FusedTrainer
+        from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
+
+        cfg = ConfigDict(
+            batch_size=32, learning_rate=0.01, weight_decay=1e-4,
+            grad_norm_clipping=100,
+            num_input_channels=params.num_state_channels,
+            use_predicted_intention=False,
+            total_timesteps=10 ** 9, exploration_frac=0.1,
+            replay_buffer_size=10000, use_double_dqn=True,
+            discount_factors=[0.85], final_exploration=0.01,
+            learning_starts_frac=0.0, train_freq=4,
+            target_update_freq=1000, num_parallel_envs=num_envs,
+            substeps_per_round=substeps, compute_dtype="bfloat16",
+        )
+        trainer = FusedTrainer(cfg, params, num_envs=num_envs)
+        loop, variables = trainer.loop, trainer._variables()
+        ls = loop.init(jax.random.PRNGKey(0))
+        metric = "env_steps_per_sec_" + mode
+
+        def one_round(ls):
+            ls, trans, m = loop.round(ls, variables, 0.05)
+            if mode == "train":
+                for g in range(trainer.policy.num_groups):
+                    trainer._push(g, trans)
+            return ls, m
+    else:
+        loop = FusedLoop(
+            params,
+            num_envs=num_envs,
+            num_channels=params.num_state_channels,
+            substeps_per_round=substeps,
+        )
+        ls = loop.init(jax.random.PRNGKey(0))
+        metric = "env_steps_per_sec"
+
+        def one_round(ls):
+            ls, _, m = loop.round(ls)
+            return ls, m
+
     jax.block_until_ready(ls.env.robot_pos)
 
     # Warmup / compile + let the env mix of action phases reach steady state.
+    served_warm = 0
     for _ in range(3):
-        ls, _, m = loop.round(ls)
+        ls, m = one_round(ls)
+        served_warm += int(m["served"])
     jax.block_until_ready(ls.env.robot_pos)
 
     served = 0
+    train_credit = 0.0
     t0 = time.time()
     for _ in range(num_rounds):
-        ls, _, m = loop.round(ls)
-        served += int(m["served"])
+        ls, m = one_round(ls)
+        n = int(m["served"])
+        served += n
+        if mode == "train":
+            train_credit += n / 4  # train_freq=4 (flagship config)
+            while train_credit >= 1.0:
+                train_credit -= 1.0
+                trainer._update(0, jax.random.PRNGKey(served))
     jax.block_until_ready(ls.env.robot_pos)
     elapsed = time.time() - t0
 
@@ -66,7 +114,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_sec",
+                "metric": metric,
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_PER_CHIP, 4),

@@ -86,7 +86,57 @@ def get_all_results(runs, cutoffs):
     return results
 
 
-def main(eval_dir):
+def mean_curve(data, max_steps):
+    """Mean +- std cubes-vs-sim-steps curve over a run's episodes, resampled
+    onto a common grid (eval_summary.ipynb show_curves cells)."""
+    xs = np.arange(0, max_steps + STEP, STEP)
+    ys = []
+    for episode in data:
+        steps = np.array([e["simulation_steps"] for e in episode])
+        cubes = np.array([e["cubes"] for e in episode])
+        if len(steps) == 0:
+            ys.append(np.zeros_like(xs, float))
+            continue
+        ys.append(np.interp(xs, steps, cubes, left=0, right=cubes[-1]))
+    ys = np.stack(ys)
+    return xs, ys.mean(axis=0), ys.std(axis=0)
+
+
+def show_curves(runs, output_path):
+    """Per-(robot-config, env) panel of per-method mean curves with std
+    bands, saved as a PNG (the notebook's interactive show_curves)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    by_group = defaultdict(dict)
+    for run_name, data in runs.items():
+        cfg_env, method = run_key(run_name)
+        by_group[cfg_env][method] = data
+
+    n = len(by_group)
+    fig, axes = plt.subplots(n, 1, figsize=(7, 3.2 * n), squeeze=False)
+    for ax, (cfg_env, methods) in zip(axes[:, 0], sorted(by_group.items())):
+        max_steps = max(
+            (ep[-1]["simulation_steps"] for data in methods.values()
+             for ep in data if len(ep)),
+            default=STEP,
+        )
+        for method, data in sorted(methods.items()):
+            xs, mean, std = mean_curve(data, max_steps)
+            ax.plot(xs, mean, label=method)
+            ax.fill_between(xs, mean - std, mean + std, alpha=0.2)
+        ax.set_title(cfg_env)
+        ax.set_xlabel("simulation steps")
+        ax.set_ylabel("cubes")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(output_path, dpi=120)
+    print("curves saved to", output_path)
+
+
+def main(eval_dir, plot=None):
     runs = load_all(eval_dir)
     if not runs:
         print("no eval results in", eval_dir)
@@ -97,10 +147,13 @@ def main(eval_dir):
     for (cfg_env, method), vals in sorted(results.items()):
         for mean, std in vals:
             print(f"{cfg_env:40s} {method:28s} {mean:8.2f} +- {std:.2f}")
+    if plot:
+        show_curves(runs, plot)
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--eval-dir", default="eval")
+    parser.add_argument("--plot", default=None, help="save curve panel PNG")
     args = parser.parse_args()
-    main(args.eval_dir)
+    main(args.eval_dir, args.plot)

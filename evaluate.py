@@ -13,32 +13,46 @@ from spatial_intention_maps_tpu import factory
 from spatial_intention_maps_tpu.eval_policy import EvalPolicy
 
 
-def run_eval(cfg, num_episodes=20, policy=None):
-    random_seed = 0  # evaluate.py:11
-    env = factory.get_env_from_cfg(cfg, random_seed=random_seed)
-    if policy is None:
-        policy = EvalPolicy(cfg)
+EVAL_SEED = 0  # fixed-seed protocol (evaluate.py:11)
+RECORD_KEYS = ("simulation_steps", "cubes", "robot_collisions")
 
-    data = [[] for _ in range(num_episodes)]
-    episode_count = 0
+
+def _rollout_episode(env, policy):
+    """One greedy episode; returns the per-step record list.
+
+    Records carry the reference's metric keys (the parity spec consumed by
+    eval_summary): simulation_steps / cubes / robot_collisions.
+    """
     state = env.reset()
-    while True:
-        action = policy.step(state)
-        state, _, done, info = env.step(action)
-        data[episode_count].append(
-            {
-                "simulation_steps": int(info["simulation_steps"]),
-                "cubes": int(info["total_cubes"]),
-                "robot_collisions": int(info["total_robot_collisions"]),
-            }
+    records = []
+    done = False
+    while not done:
+        state, _, done, info = env.step(policy.step(state))
+        records.append(
+            dict(
+                simulation_steps=int(info["simulation_steps"]),
+                cubes=int(info["total_cubes"]),
+                robot_collisions=int(info["total_robot_collisions"]),
+            )
         )
-        if done:
-            episode_count += 1
-            print("Completed {}/{} episodes".format(episode_count, num_episodes))
-            if episode_count >= num_episodes:
-                break
-            state = env.reset()
-    return data
+    return records
+
+
+def run_eval(cfg, num_episodes=20, policy=None):
+    env = factory.get_env_from_cfg(cfg, random_seed=EVAL_SEED)
+    policy = EvalPolicy(cfg) if policy is None else policy
+    episodes = []
+    for _ in range(num_episodes):
+        records = _rollout_episode(env, policy)
+        episodes.append(records)
+        last = records[-1] if records else {}
+        print(
+            f"episode {len(episodes)}/{num_episodes}: "
+            f"cubes={last.get('cubes', 0)} "
+            f"sim_steps={last.get('simulation_steps', 0)}",
+            flush=True,
+        )
+    return episodes
 
 
 def main(cfg, num_episodes):

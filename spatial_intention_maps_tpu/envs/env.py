@@ -792,18 +792,19 @@ def step_end_post(params: EnvParams, state: EnvState, ctx, percep):
             return jnp.where(ok, d0 - d1, 0.0)
 
         rdeltas = jax.vmap(robot_delta)(jnp.arange(params.num_robots))
+        # Robots whose segment closed this step and are still carrying start
+        # the next segment at the current carried-cube position
+        # (envs.py:1215).  Segments that did NOT close (a carrying robot's
+        # action ended in a collision rather than at its final waypoint,
+        # where the reference's _done_moving never runs) keep their baseline,
+        # so the carry progress is credited when the next segment closes.
+        carried = jnp.maximum(state.carried_cube, 0)
+        carried_xy = state.cube_pos[carried, :2]
+        closed = state.pr_pending & (state.carried_cube >= 0)
         state = state.replace(
             cube_dist_closer=state.cube_dist_closer + rdeltas,
             pr_pending=jnp.zeros_like(state.pr_pending),
-        )
-        # Robots still carrying start the next partial-reward segment at the
-        # current carried-cube position (envs.py:1215).
-        carried = jnp.maximum(state.carried_cube, 0)
-        carried_xy = state.cube_pos[carried, :2]
-        state = state.replace(
-            pr_initial=jnp.where(
-                (state.carried_cube >= 0)[:, None], carried_xy, state.pr_initial
-            )
+            pr_initial=jnp.where(closed[:, None], carried_xy, state.pr_initial),
         )
 
     # Rewards for awaiting-or-done robots (envs.py:296-299, 933-955).

@@ -16,7 +16,16 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .resnet import ResNet18Features, conv_init
+from .resnet import ResNet18Features
+
+# The reference's FCN head (networks.py:16-26) keeps torch's DEFAULT Conv2d
+# init — kaiming_uniform(a=sqrt(5)) == variance_scaling(1/3, fan_in,
+# uniform) — NOT the resnet loop's Kaiming fan_out (resnet.py:70-72, which
+# only touches backbone modules).  Getting this wrong explodes the initial
+# Q scale: fan_out of the last 1x1 conv is C_out (= 1-2), so fan_out init
+# yields ~unit-variance weights on 32 inputs and |Q| in the hundreds at
+# init, wasting the first ~1k updates fighting the blow-up down.
+head_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
 def _align_corners_matrix(n_in: int, scale: int = 2) -> np.ndarray:
@@ -56,18 +65,23 @@ class FCN(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: (B, 96, 96, C_in) -> (B, 96, 96, C_out) Q-map (NHWC)."""
         x = ResNet18Features(dtype=self.dtype, layer_planes=self.layer_planes)(x, train)
-        x = nn.Conv(self.head_planes[0], (1, 1), kernel_init=conv_init, dtype=self.dtype,
+        x = nn.Conv(self.head_planes[0], (1, 1), kernel_init=head_init, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = upsample2x_align_corners(x)
-        x = nn.Conv(self.head_planes[1], (1, 1), kernel_init=conv_init, dtype=self.dtype,
+        x = nn.Conv(self.head_planes[1], (1, 1), kernel_init=head_init, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = upsample2x_align_corners(x)
-        x = nn.Conv(self.num_output_channels, (1, 1), kernel_init=conv_init,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
-        return x.astype(jnp.float32)
+        # The Q head runs in float32 even when the trunk is bfloat16: bf16
+        # Q-values (8 mantissa bits) tie across flat map regions, biasing the
+        # greedy argmax to the lowest flat index (top-left) early in training.
+        x = nn.Conv(self.num_output_channels, (1, 1), kernel_init=head_init,
+                    dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return x

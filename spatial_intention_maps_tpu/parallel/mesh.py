@@ -13,10 +13,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape=None, axis_names=("dp",)):
-    """A mesh over all available devices; default 1-D data-parallel."""
-    n = jax.device_count()
+    """A mesh over all available devices; default 1-D data-parallel.
+
+    ``shape`` may be an int (1-D dp mesh over the first N devices) or a
+    tuple.  This is the mesh constructor used by FusedTrainer's multi-chip
+    path (train.py --num-devices N).
+    """
     if shape is None:
-        shape = (n,)
+        shape = (jax.device_count(),)
+    if isinstance(shape, int):
+        shape = (shape,)
     devices = mesh_utils.create_device_mesh(shape)
     return Mesh(devices, axis_names)
 

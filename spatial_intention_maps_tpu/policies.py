@@ -36,19 +36,27 @@ class DQNPolicy:
     num_input_channels: int
     use_predicted_intention: bool = False
     compute_dtype: Any = jnp.float32
+    # Reference ResNet-18 widths by default; reducible for tiny test configs.
+    layer_planes: Optional[tuple] = None
+    head_planes: Optional[tuple] = None
 
     def __post_init__(self):
         self.group_channels = self.env_params.num_output_channels
         self.num_groups = self.env_params.num_groups
+        sizes = {}
+        if self.layer_planes is not None:
+            sizes["layer_planes"] = tuple(self.layer_planes)
+        if self.head_planes is not None:
+            sizes["head_planes"] = tuple(self.head_planes)
         self.models = [
-            FCN(num_output_channels=c, dtype=self.compute_dtype)
+            FCN(num_output_channels=c, dtype=self.compute_dtype, **sizes)
             for c in self.group_channels
         ]
         if self.use_predicted_intention:
             # Intention nets take the state minus the ground-truth intention
             # channel and predict it (policies.py:89-95).
             self.intention_models = [
-                FCN(num_output_channels=1, dtype=self.compute_dtype)
+                FCN(num_output_channels=1, dtype=self.compute_dtype, **sizes)
                 for _ in range(self.num_groups)
             ]
 

@@ -67,12 +67,19 @@ def _flat_q(qmap):
 
 
 def dqn_update(model, optimizer, ts: GroupTrainState, batch, discount_factor,
-               use_double_dqn=True):
+               use_double_dqn=True, axis_name=None):
     """One DQN step on a sampled batch (train.py:108-141).
 
     batch: dict(state (B,96,96,C), action (B,), reward (B,),
     next_state (B,96,96,C), has_next (B,)).
     Returns (new_ts, info dict).
+
+    ``axis_name``: when called inside shard_map/pmap with the batch sharded
+    over that mesh axis, gradients (and the BN statistics / metrics) are
+    mean-reduced across devices so replicated parameters stay replicated —
+    the TPU-native equivalent of the reference's DataParallel scatter/gather
+    (policies.py:39).  Per-shard BN batch statistics are averaged (sync-BN up
+    to the variance-of-means term; documented divergence).
     """
     s, a, r = batch["state"], batch["action"], batch["reward"]
     s_next, has_next = batch["next_state"], batch["has_next"]
@@ -105,6 +112,11 @@ def dqn_update(model, optimizer, ts: GroupTrainState, batch, discount_factor,
     (loss, (td_error, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         ts.variables["params"]
     )
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        td_error = jax.lax.pmean(td_error, axis_name)
+        mutated = jax.lax.pmean(mutated, axis_name)
     updates, new_opt_state = optimizer.update(
         grads, ts.opt_state, ts.variables["params"]
     )
@@ -117,7 +129,7 @@ def dqn_update(model, optimizer, ts: GroupTrainState, batch, discount_factor,
     return ts, {"loss": loss, "td_error": td_error}
 
 
-def intention_update(model, optimizer, ts: GroupTrainState, batch):
+def intention_update(model, optimizer, ts: GroupTrainState, batch, axis_name=None):
     """BCE-with-logits on the ground-truth intention channel
     (train.py:143-158)."""
     s = batch["state"]
@@ -135,6 +147,10 @@ def intention_update(model, optimizer, ts: GroupTrainState, batch):
     (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         ts.intention_variables["params"]
     )
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        mutated = jax.lax.pmean(mutated, axis_name)
     updates, new_opt = optimizer.update(
         grads, ts.intention_opt_state, ts.intention_variables["params"]
     )

@@ -15,9 +15,15 @@ in the batch finishes its action), every *round*:
    the reference's semantics of pausing simulation during action selection,
    envs.py:754-765).
 
-Per-env trajectories are bit-identical to the sequential protocol; only the
-batching geometry changes.  Envs that are ready but beyond the service
-capacity simply stay frozen one more round.
+Per-env trajectories match the sequential protocol — only the batching
+geometry changes (tested: tests/test_fused_equivalence.py drives both paths
+with the same keys and a deterministic observation-chaotic policy and
+compares the per-env transition streams).  One stated divergence: the
+mid-action map refresh runs on a global round cadence here vs. per-robot
+substep counts in the reference (envs.py:1400-1402), which can shift WHAT a
+robot saw mid-drive under partial observations; step-boundary observations
+are refreshed identically in both paths.  Envs that are ready but beyond the
+service capacity simply stay frozen one more round.
 """
 
 from functools import partial
@@ -30,7 +36,7 @@ from flax import struct
 
 from .. import constants
 from ..envs import env as env_core
-from ..envs.types import EnvParams, EnvState, IDLE
+from ..envs.types import CUBE_AVAILABLE, EnvParams, EnvState, IDLE
 from ..policies import action_space_size
 
 N = constants.LOCAL_MAP_PIXEL_WIDTH
@@ -193,6 +199,7 @@ class FusedLoop:
                 ),
                 has_next=arrived,
                 mask=complete,
+                env=jnp.where(row_valid, idx, -1),  # source env per row
             )
 
             # Episode metrics from finished episodes.
@@ -224,15 +231,18 @@ class FusedLoop:
                 jnp.where(row_valid, acts, -1)
             )
 
+            # Decoded world end-effector targets (also powers the
+            # click-quality metrics below).
+            _, _, _, _, _, tee = jax.vmap(
+                lambda s, a: env_core.compute_action_target(params, s, a)
+            )(merged, actions_rb)
+
             # Target-seeded planning distance images for all served envs in
             # ONE batched (Pallas) sweep, instead of per-env lax sweeps
             # inside the vmapped inject.
             plan_dist = None
             if params.use_shortest_path_movement:
                 h_px, w_px = params.map_shape
-                _, _, _, _, _, tee = jax.vmap(
-                    lambda s, a: env_core.compute_action_target(params, s, a)
-                )(merged, actions_rb)
                 menv = jnp.arange(m)
                 cs_act = percep["cspaces"][menv, robot]       # (M, H, W)
                 snap_act = percep["snaps"][menv, robot]
@@ -298,12 +308,36 @@ class FusedLoop:
             )
             new_ls = new_ls.replace(env=env2, round_idx=ls.round_idx + 1)
 
+            # Click-quality diagnostics: is the policy aiming the
+            # end-effector channel at cubes (when free) and at the
+            # receptacle (when carrying)?  Near-free learning-health signal.
+            ch_sel = acts // (N * N)
+            carry = merged.lifting[jnp.arange(m), robot]
+            d_tc = jnp.linalg.norm(
+                tee[:, None, :] - merged.cube_pos[:, :, :2], axis=-1
+            )
+            d_tc = jnp.where(merged.cube_status == CUBE_AVAILABLE, d_tc, jnp.inf)
+            near_cube = jnp.min(d_tc, axis=1) < 0.07
+            ee_clicks = row_valid & (ch_sel == 1) & ~carry
+            carry_clicks = row_valid & carry
+            in_recep = (
+                env_core.dynamics.in_receptacle(params, tee)
+                if params.has_receptacle
+                else jnp.zeros(m, bool)
+            )
+
             metrics = dict(
                 served=jnp.sum(row_valid.astype(jnp.int32)),
                 episodes=n_done,
                 episode_cubes=jnp.sum(ep_cubes),
                 episode_steps=jnp.sum(ep_steps),
                 reward_sum=jnp.sum(jnp.where(complete, reward, 0.0)),
+                ee_clicks=jnp.sum(ee_clicks.astype(jnp.int32)),
+                ee_clicks_near_cube=jnp.sum((ee_clicks & near_cube).astype(jnp.int32)),
+                carry_clicks=jnp.sum(carry_clicks.astype(jnp.int32)),
+                carry_clicks_in_recep=jnp.sum(
+                    (carry_clicks & (ch_sel == 1) & in_recep).astype(jnp.int32)
+                ),
             )
             return new_ls, trans, metrics
 
@@ -321,7 +355,8 @@ class FusedTrainer:
     curriculum — all budget-compatible with the reference (timesteps are
     served robot actions)."""
 
-    def __init__(self, cfg, env_params: EnvParams, num_envs=None, seed=0):
+    def __init__(self, cfg, env_params: EnvParams, num_envs=None, seed=0,
+                 num_devices=None):
         from ..policies import DQNPolicy
         from ..replay import ReplayBuffer
         from . import dqn
@@ -332,6 +367,22 @@ class FusedTrainer:
         self.key = jax.random.PRNGKey(seed)
         self.dqn = dqn
 
+        # Device mesh (data parallelism over the env batch, SURVEY §2.2):
+        # envs + replay shard over `dp`; params replicate; gradients
+        # pmean-reduce over ICI inside the sharded update.
+        self.num_devices = int(num_devices or cfg.get("mesh_shape") or 1)
+        if self.num_devices > 1:
+            from ..parallel import mesh as mesh_utils_mod
+
+            assert self.num_envs % self.num_devices == 0, (
+                self.num_envs, self.num_devices
+            )
+            self.mesh = mesh_utils_mod.make_mesh(self.num_devices)
+            self._dp = mesh_utils_mod.batch_spec(self.mesh)
+            self._rep = mesh_utils_mod.replicated_spec(self.mesh)
+        else:
+            self.mesh = None
+
         self.policy = DQNPolicy(
             env_params,
             num_input_channels=cfg.num_input_channels,
@@ -339,6 +390,8 @@ class FusedTrainer:
             compute_dtype=jnp.bfloat16
             if cfg.get("compute_dtype", "bfloat16") == "bfloat16"
             else jnp.float32,
+            layer_planes=cfg.get("fcn_layer_planes"),
+            head_planes=cfg.get("fcn_head_planes"),
         )
         self.key, k = jax.random.split(self.key)
         variables = self.policy.init(k)
@@ -355,14 +408,11 @@ class FusedTrainer:
                     intention_optimizer=self.optimizer if iv is not None else None,
                 )
             )
-        self.buffers = [
-            ReplayBuffer.create(cfg.replay_buffer_size, cfg.num_input_channels)
-            for _ in range(self.policy.num_groups)
-        ]
-
+        n_dev = self.num_devices
+        buffer_cap = max(cfg.batch_size, cfg.replay_buffer_size // n_dev)
         self.loop = FusedLoop(
             env_params,
-            num_envs=self.num_envs,
+            num_envs=self.num_envs // n_dev,   # per-shard batch
             num_channels=cfg.num_input_channels,
             substeps_per_round=cfg.get("substeps_per_round", 64),
             policy=self.policy,
@@ -385,25 +435,118 @@ class FusedTrainer:
                 flat(trans["has_next"]), flat(mask),
             )
 
-        self._push_group = jax.jit(push_group, static_argnames=("group_id",))
-
-        def update_group(ts, buffer, key, discount, model_idx):
-            batch = buffer.sample(key, cfg.batch_size)
+        def update_group(ts, buffer, key, discount, model_idx, batch_size,
+                         axis_name=None):
+            batch = buffer.sample(key, batch_size)
             ts, info = dqn.dqn_update(
                 self.policy.models[model_idx], self.optimizer, ts, batch,
-                discount, use_double_dqn=cfg.use_double_dqn,
+                discount, use_double_dqn=cfg.use_double_dqn, axis_name=axis_name,
             )
             if self.policy.use_predicted_intention:
                 ts, info_i = dqn.intention_update(
-                    self.policy.intention_models[model_idx], self.optimizer, ts, batch
+                    self.policy.intention_models[model_idx], self.optimizer, ts,
+                    batch, axis_name=axis_name,
                 )
                 info.update(info_i)
             return ts, info
 
-        self._update_group = jax.jit(update_group, static_argnames=("model_idx",))
+        if self.mesh is None:
+            self.buffers = [
+                ReplayBuffer.create(buffer_cap, cfg.num_input_channels)
+                for _ in range(self.policy.num_groups)
+            ]
+            self._push_group = jax.jit(push_group, static_argnames=("group_id",))
+            self._update_group = jax.jit(
+                partial(update_group, batch_size=cfg.batch_size),
+                static_argnames=("model_idx",),
+            )
+        else:
+            # Per-shard replay rings stacked on a sharded leading axis;
+            # push/update run under shard_map (train_multiprocess.py:423-490's
+            # learner/worker split collapsed onto the mesh).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.mesh
+            one = ReplayBuffer.create(buffer_cap, cfg.num_input_channels)
+            stacked = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape), one
+            )
+            self.buffers = [
+                jax.device_put(stacked, self._dp)
+                for _ in range(self.policy.num_groups)
+            ]
+            assert cfg.batch_size % n_dev == 0, (cfg.batch_size, n_dev)
+            local_bs = cfg.batch_size // n_dev
+
+            def make_sharded_push(group_id):
+                def body(buf_n, trans):
+                    buf = jax.tree.map(lambda x: x[0], buf_n)
+                    new = push_group(buf, trans, group_id)
+                    return jax.tree.map(lambda x: x[None], new)
+
+                return jax.jit(shard_map(
+                    body, mesh=mesh, in_specs=(P("dp"), P("dp")),
+                    out_specs=P("dp"), check_rep=False,
+                ))
+
+            self._sharded_push = [
+                make_sharded_push(g) for g in range(self.policy.num_groups)
+            ]
+
+            def make_sharded_update(model_idx, discount):
+                def body(ts, buf_n, keys_n):
+                    buf = jax.tree.map(lambda x: x[0], buf_n)
+                    return update_group(
+                        ts, buf, keys_n[0], discount, model_idx, local_bs,
+                        axis_name="dp",
+                    )
+
+                return jax.jit(shard_map(
+                    body, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
+                    out_specs=(P(), P()), check_rep=False,
+                ))
+
+            self._sharded_update = [
+                make_sharded_update(g, cfg.discount_factors[g])
+                for g in range(self.policy.num_groups)
+            ]
+            self._sharded_round, self._global_init = make_sharded_round(
+                self.loop, mesh
+            )
+            self.train_states = [
+                jax.device_put(ts, self._rep) for ts in self.train_states
+            ]
 
         self.timestep = 0
         self.episode = 0
+        self._warm = [False] * self.policy.num_groups
+
+    # ------------------------------------------------------------------
+    def _push(self, g, trans):
+        if self.mesh is None:
+            self.buffers[g] = self._push_group(self.buffers[g], trans, g)
+        else:
+            self.buffers[g] = self._sharded_push[g](self.buffers[g], trans)
+
+    def _update(self, g, key):
+        if self.mesh is None:
+            self.train_states[g], info = self._update_group(
+                self.train_states[g], self.buffers[g], key,
+                self.cfg.discount_factors[g], g,
+            )
+        else:
+            keys = jax.random.split(key, self.num_devices)
+            self.train_states[g], info = self._sharded_update[g](
+                self.train_states[g], self.buffers[g], keys
+            )
+        return info
+
+    @property
+    def buffer_sizes(self):
+        if self.mesh is None:
+            return [int(b.size) for b in self.buffers]
+        return [int(jnp.sum(b.size)) for b in self.buffers]
 
     def _variables(self):
         v = {"policy": [ts.variables for ts in self.train_states]}
@@ -422,7 +565,11 @@ class FusedTrainer:
         total_with_warmup = total + learning_starts
 
         self.key, k = jax.random.split(self.key)
-        ls = self.loop.init(k)
+        if self.mesh is None:
+            ls = self.loop.init(k)
+        else:
+            ls = self._global_init(k)
+            ls = jax.device_put(ls, jax.tree.map(lambda _: self._dp, ls))
 
         train_credit = 0.0
         next_target_sync = cfg.target_update_freq
@@ -440,26 +587,37 @@ class FusedTrainer:
                     max(0, self.timestep - learning_starts) / cfg.total_timesteps
                     <= cfg.use_predicted_intention_frac
                 )
-            ls, trans, m = self.loop.round(ls, self._variables(), eps, use_gt)
+            if self.mesh is None:
+                ls, trans, m = self.loop.round(ls, self._variables(), eps, use_gt)
+            else:
+                ls, trans, m = self._sharded_round(
+                    ls, self._variables(), eps, use_gt
+                )
             for g in range(self.policy.num_groups):
-                self.buffers[g] = self._push_group(self.buffers[g], trans, g)
+                self._push(g, trans)
 
             served = int(m["served"])
             self.timestep += served
             self.episode += int(m["episodes"])
 
             if self.timestep >= learning_starts:
+                min_fill = cfg.batch_size * self.num_devices
                 train_credit += served / cfg.train_freq
                 while train_credit >= 1.0:
                     train_credit -= 1.0
+                    # Buffer-fill check syncs device->host; latch once warm
+                    # (50 ms RTT per sync on remote-attached TPUs).
+                    if not all(self._warm):
+                        sizes = self.buffer_sizes
+                        self._warm = [
+                            w or sizes[g] >= min_fill
+                            for g, w in enumerate(self._warm)
+                        ]
                     for g in range(self.policy.num_groups):
-                        if int(self.buffers[g].size) < cfg.batch_size:
+                        if not self._warm[g]:
                             continue
                         self.key, ku = jax.random.split(self.key)
-                        self.train_states[g], tinfo = self._update_group(
-                            self.train_states[g], self.buffers[g], ku,
-                            cfg.discount_factors[g], g,
-                        )
+                        tinfo = self._update(g, ku)
                         # Keep device-side; converted only on log rounds (a
                         # float() here is a blocking tunnel round-trip per
                         # update on remote-attached TPUs).
@@ -529,23 +687,31 @@ def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
         key=spec, round_idx=spec,
     )
 
-    def body(ls, variables, eps):
-        local = ls.replace(key=ls.key[0], round_idx=ls.round_idx[0])
-        new_ls, trans, metrics = loop._round(local, variables, eps, False)
-        metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
-        new_ls = new_ls.replace(
-            key=new_ls.key[None], round_idx=new_ls.round_idx[None]
-        )
-        return new_ls, trans, metrics
+    def make_body(use_gt):
+        def body(ls, variables, eps):
+            local = ls.replace(key=ls.key[0], round_idx=ls.round_idx[0])
+            new_ls, trans, metrics = loop._round(local, variables, eps, use_gt)
+            metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
+            new_ls = new_ls.replace(
+                key=new_ls.key[None], round_idx=new_ls.round_idx[None]
+            )
+            return new_ls, trans, metrics
 
-    sharded = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(ls_specs, P(), P()),
-        out_specs=(ls_specs, spec, P()),
-        check_rep=False,
-    )
-    sharded = jax.jit(sharded)
+        return jax.jit(shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(ls_specs, P(), P()),
+            out_specs=(ls_specs, spec, P()),
+            check_rep=False,
+        ))
+
+    _cache = {}
+
+    def sharded(ls, variables, eps, use_gt_intention=False):
+        use_gt = bool(use_gt_intention)
+        if use_gt not in _cache:
+            _cache[use_gt] = make_body(use_gt)
+        return _cache[use_gt](ls, variables, eps)
 
     def global_init(key):
         keys = jax.random.split(key, n)

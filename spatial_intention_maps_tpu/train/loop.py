@@ -170,10 +170,12 @@ class Trainer:
         def push_group(buffer, trans, group_id):
             mask = trans["mask"] & (groups[None, :] == group_id)
             flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            # reward from env.step is already per-(env, robot): (B, R).
+            reward = jnp.broadcast_to(trans["reward"], trans["mask"].shape)
             return buffer.push(
                 flat(trans["state"]),
                 flat(trans["action"]),
-                jnp.repeat(trans["reward"][:, None], params.num_robots, 1).reshape(-1),
+                reward.reshape(-1),
                 flat(trans["next_state"]),
                 flat(trans["has_next"]),
                 flat(mask),

@@ -115,6 +115,7 @@ def load_checkpoint(checkpoint_path, trainer):
             )
     # Buffer-less checkpoints (fast cadence on remote-tunnel TPUs) resume
     # with empty buffers, like the reference's policy-only resume path.
+    dp = getattr(trainer, "_dp", None) if getattr(trainer, "mesh", None) else None
     for g, buf in enumerate(tree.get("buffers", [])):
-        trainer.buffers[g] = buf
+        trainer.buffers[g] = buf if dp is None else jax.device_put(buf, dp)
     return tree

@@ -37,12 +37,18 @@ def main():
     t0 = time.time()
     out = open("/tmp/probe_metrics.jsonl", "w")
 
+    clicks = dict(ee=0, ee_near=0, carry=0, carry_recep=0)
+
     def log_fn(timestep, metrics, m, _):
         ep_window.append((int(m["episodes"]), float(m["episode_cubes"])))
         if len(ep_window) > 200:
             ep_window.pop(0)
         eps_n = sum(e for e, _ in ep_window)
         cubes_n = sum(c for _, c in ep_window)
+        clicks["ee"] += int(m.get("ee_clicks", 0))
+        clicks["ee_near"] += int(m.get("ee_clicks_near_cube", 0))
+        clicks["carry"] += int(m.get("carry_clicks", 0))
+        clicks["carry_recep"] += int(m.get("carry_clicks_in_recep", 0))
         rec = dict(
             timestep=timestep,
             elapsed=round(time.time() - t0, 1),
@@ -52,12 +58,22 @@ def main():
             steps_per_sec=round(metrics.get("steps_per_sec", 0), 1),
             window_episodes=eps_n,
             window_cubes_per_ep=round(cubes_n / max(eps_n, 1), 3),
+            ee_near_frac=round(clicks["ee_near"] / max(clicks["ee"], 1), 3),
+            carry_recep_frac=round(
+                clicks["carry_recep"] / max(clicks["carry"], 1), 3
+            ),
         )
+        for k in clicks:
+            clicks[k] = int(clicks[k] * 0.9)  # trailing decay
         out.write(json.dumps(rec) + "\n")
         out.flush()
         print(rec, flush=True)
 
     trainer.run(log_fn=log_fn)
+
+    from spatial_intention_maps_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint("/tmp/probe_ckpt", trainer.timestep, trainer,
+                    include_buffers=False)
     print("probe done", flush=True)
     out.close()
 

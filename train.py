@@ -21,7 +21,7 @@ from spatial_intention_maps_tpu.utils.checkpoint import save_checkpoint
 from spatial_intention_maps_tpu.utils.logging_utils import MetricLogger
 
 
-def main(cfg):
+def main(cfg, num_devices=None):
     log_dir = Path(cfg.log_dir)
     checkpoint_dir = Path(cfg.checkpoint_dir)
     print("log_dir: {}".format(log_dir))
@@ -38,7 +38,11 @@ def main(cfg):
         cfg, env_params,
         num_envs=cfg.get("num_parallel_envs", 32),
         seed=cfg.get("random_seed") or 0,
+        num_devices=num_devices,
     )
+    if trainer.mesh is not None:
+        print(f"mesh: {trainer.num_devices} devices (dp), "
+              f"{trainer.num_envs // trainer.num_devices} envs/device")
 
     # Resume (train.py:200-210 parity): policy weights + optimizer/replay.
     if cfg.get("policy_path"):
@@ -116,6 +120,11 @@ def main(cfg):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-path")
+    parser.add_argument(
+        "--num-devices", type=int, default=None,
+        help="shard the env batch over an N-device dp mesh "
+             "(default: cfg.mesh_shape or 1)",
+    )
     args = parser.parse_args()
     config_path = args.config_path
     if config_path is None:
@@ -124,4 +133,4 @@ if __name__ == "__main__":
         print("no config found; pass --config-path")
         sys.exit(1)
     config_path = config_mod.setup_run(config_path)
-    main(config_mod.load_config(config_path))
+    main(config_mod.load_config(config_path), num_devices=args.num_devices)
