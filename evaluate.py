@@ -55,9 +55,68 @@ def run_eval(cfg, num_episodes=20, policy=None):
     return episodes
 
 
-def main(cfg, num_episodes):
+def run_eval_batched(cfg, num_episodes=20, max_actions=2000):
+    """Protocol-equivalent batched eval: ``num_episodes`` envs (episode keys
+    split from seed 0) each roll ONE greedy episode in parallel through the
+    jitted BatchedEnv — same per-step records, ~num_episodes x faster on a
+    remote-attached chip than the sequential reference protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from spatial_intention_maps_tpu.envs.vector_env import BatchedEnv
+
+    params = factory.env_params_from_cfg(cfg)
+    helper = EvalPolicy(cfg)  # loads variables from cfg.policy_path
+    policy, variables = helper.policy, helper.variables
+    act = jax.jit(lambda v, obs, g, k: policy.act(
+        v, obs, g, cfg.final_exploration, k
+    )[0])
+
+    b = num_episodes
+    env = BatchedEnv(params, b)
+    state, obs, robot, group = env.reset(jax.random.PRNGKey(EVAL_SEED))
+    active = np.ones(b, bool)
+    episodes = [[] for _ in range(b)]
+    key = jax.random.PRNGKey(EVAL_SEED + 1)
+    benv = jnp.arange(b)
+    for _ in range(max_actions):
+        key, k = jax.random.split(key)
+        acts = act(variables, obs, group, k)
+        actions_br = jnp.full((b, params.num_robots), -1, jnp.int32)
+        actions_br = actions_br.at[benv, robot].set(acts)
+        state, obs, robot, group, reward, done, info = env.step(state, actions_br)
+        sim = np.asarray(info["simulation_steps"])
+        cubes = np.asarray(info["total_cubes"])
+        colls = np.asarray(info["total_robot_collisions"])
+        done_np = np.asarray(done)
+        for e in range(b):
+            if not active[e]:
+                continue
+            episodes[e].append(
+                dict(
+                    simulation_steps=int(sim[e]),
+                    cubes=int(cubes[e]),
+                    robot_collisions=int(colls[e]),
+                )
+            )
+        finished = active & done_np
+        if finished.any():
+            for e in np.nonzero(finished)[0]:
+                rec = episodes[e][-1]
+                print(
+                    f"episode done (env {e}): cubes={rec['cubes']} "
+                    f"sim_steps={rec['simulation_steps']}",
+                    flush=True,
+                )
+        active &= ~done_np
+        if not active.any():
+            break
+    return episodes
+
+
+def main(cfg, num_episodes, batched=False):
     eval_dir = config_mod.get_eval_dir()
-    data = run_eval(cfg, num_episodes)
+    data = (run_eval_batched if batched else run_eval)(cfg, num_episodes)
     eval_dir.mkdir(parents=True, exist_ok=True)
     eval_path = eval_dir / "{}.npy".format(cfg.run_name)
     np.save(eval_path, np.array(data, dtype=object), allow_pickle=True)
@@ -68,9 +127,13 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-path")
     parser.add_argument("--num-episodes", type=int, default=20)
+    parser.add_argument(
+        "--batched", action="store_true",
+        help="run all episodes in parallel through the jitted BatchedEnv",
+    )
     args = parser.parse_args()
     config_path = args.config_path or config_mod.select_run()
     if config_path is None:
         print("no run found")
         sys.exit(1)
-    main(config_mod.load_config(config_path), args.num_episodes)
+    main(config_mod.load_config(config_path), args.num_episodes, args.batched)

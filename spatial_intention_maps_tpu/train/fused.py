@@ -77,10 +77,13 @@ class FusedLoop:
         self.substeps = substeps_per_round
         # Expected fraction needing service per round ~ substeps / typical
         # action length (several hundred substeps); 2x slack.  Envs past the
-        # capacity just wait a round.
-        self.capacity = service_capacity or max(
+        # capacity just wait a round.  Never exceed num_envs: the round body
+        # sizes its sub-batch arrays (reset keys, scatter indices) by the
+        # capacity, and idx=order[:capacity] silently clamps to num_envs.
+        cap = service_capacity or max(
             8, min(num_envs, int(num_envs * substeps_per_round / 256))
         )
+        self.capacity = min(num_envs, cap)
         self.policy = policy
         self._build()
 
