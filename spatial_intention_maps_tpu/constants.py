@@ -158,13 +158,15 @@ DEFAULT_ROBOT_COLLISION_PENALTY = 1.0
 # of the reference).
 # ---------------------------------------------------------------------------
 MAX_WAYPOINTS = 8           # after line-of-sight simplification
-BACKTRACE_MAX_STEPS = 512   # dense steepest-descent path length (pixels)
+BACKTRACE_MAX_STEPS = 384   # dense steepest-descent path length (pixels)
 # Stride bounds the blind-fallback chord at sharp corners: clips stay within
 # the robot-radius dilation margin of the configuration space.
-BACKTRACE_STRIDE = 4        # subsample stride before LOS simplification
+BACKTRACE_STRIDE = 8        # subsample stride before LOS simplification
 # LOS sample spacing must stay under ~4 px even for jumps spanning the whole
 # backtraced path (<= 448 px), or string pulling can clip thin blocked cells.
-LOS_SAMPLES = 112           # samples per line-of-sight segment test
+LOS_SAMPLES = 64            # samples per LOS segment test (~2.3 px apart
+                            # on the compact canvas; dividers+dilation are
+                            # >= 10 px wide, so lines cannot thread them)
 NUM_VIS_RAYS = 112          # FOV raycast rays over the 90 deg wedge
 NUM_VIS_STEPS = 64          # raycast samples along each ray (~1.6 px apart)
 SPAWN_REJECTION_TRIES = 16  # pose rejection-sampling attempts
@@ -175,12 +177,21 @@ def round_up_to_even(x: float) -> int:
     return 2 * math.ceil(x / 2)
 
 
+# Wall band kept inside the global canvas, px.  The reference pads its
+# canvas by sqrt(2)*96 px so egocentric crops never leave it
+# (envs.py:2382-2388) and fills the padding with its very thick wall boxes
+# (envs.py:445).  We keep only a WALL_BAND_PX-wide strip of that wall
+# instead: crops are gathered with index clamping, so pixels beyond the
+# canvas read the edge cell — which is exactly the wall band (obstacle once
+# observed, unseen otherwise) or the unreachable max-fill of a distance
+# image, i.e. the same values the reference's padding produces.  This
+# shrinks every global-map op (wavefront sweeps, dilations, rasterization)
+# ~3-4x and makes W a single 128-lane tile for the standard rooms.
+WALL_BAND_PX = 16
+
+
 def global_map_shape(room_length: float, room_width: float) -> tuple:
-    """Padded global map shape (envs.py:2382-2388): room + sqrt(2)*96 margin."""
-    h = round_up_to_even(
-        room_width * LOCAL_MAP_PIXELS_PER_METER + math.sqrt(2) * LOCAL_MAP_PIXEL_WIDTH
-    )
-    w = round_up_to_even(
-        room_length * LOCAL_MAP_PIXELS_PER_METER + math.sqrt(2) * LOCAL_MAP_PIXEL_WIDTH
-    )
+    """Compact global map shape: room + wall band (see WALL_BAND_PX)."""
+    h = round_up_to_even(room_width * LOCAL_MAP_PIXELS_PER_METER) + 2 * WALL_BAND_PX
+    w = round_up_to_even(room_length * LOCAL_MAP_PIXELS_PER_METER) + 2 * WALL_BAND_PX
     return h, w

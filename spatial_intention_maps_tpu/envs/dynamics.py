@@ -56,6 +56,11 @@ def _dir(h):
     return jnp.stack([jnp.cos(h), jnp.sin(h)], axis=-1)
 
 
+def _has_type(params: EnvParams, name: str) -> bool:
+    """Static robot-type presence test (python bool, prunes whole blocks)."""
+    return any(constants.ROBOT_TYPES[t] == name for t in params.robot_types)
+
+
 def _type_masks(params: EnvParams):
     names = [constants.ROBOT_TYPES[t] for t in params.robot_types]
     m = lambda n: jnp.asarray([x == n for x in names])
@@ -276,37 +281,48 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
 
     cube_pos = cube_pos.at[:, :2].set(jnp.where(avail[:, None], p2, cube_pos[:, :2]))
 
-    # 4) Carried cubes ride at the hook offset (envs.py:1268-1276).
-    carried = state.carried_cube
-    has_carry = (carried >= 0) & active
-    c_idx = jnp.where(has_carry, carried, c_n)  # out-of-range rows dropped
-    offset = jnp.asarray(params.ee_locations) + constants.LIFTED_CUBE_OFFSET + CUBE_R
-    cp = jnp.concatenate(
-        [
-            new_pos + offset[:, None] * _dir(new_heading),
-            jnp.full((params.num_robots, 1), constants.LIFTED_CUBE_HEIGHT + CUBE_R),
-        ],
-        axis=-1,
-    )
-    cube_pos = cube_pos.at[c_idx].set(cp, mode="drop")
-    cube_heading = cube_heading.at[c_idx].set(new_heading, mode="drop")
+    # 4) LIFTED cubes ride at the hook offset (envs.py:1268-1276).  Status
+    # gating matters: throwing robots also hold their cube id in
+    # carried_cube during the manipulation window, but a THROWN cube is a
+    # free ballistic body, not a constraint rider.
+    if _has_type(params, "lifting_robot"):
+        carried = state.carried_cube
+        has_carry = (
+            (carried >= 0)
+            & active
+            & (state.cube_status[jnp.maximum(carried, 0)] == CUBE_LIFTED)
+        )
+        c_idx = jnp.where(has_carry, carried, c_n)  # out-of-range rows dropped
+        offset = jnp.asarray(params.ee_locations) + constants.LIFTED_CUBE_OFFSET + CUBE_R
+        cp = jnp.concatenate(
+            [
+                new_pos + offset[:, None] * _dir(new_heading),
+                jnp.full((params.num_robots, 1), constants.LIFTED_CUBE_HEIGHT + CUBE_R),
+            ],
+            axis=-1,
+        )
+        cube_pos = cube_pos.at[c_idx].set(cp, mode="drop")
+        cube_heading = cube_heading.at[c_idx].set(new_heading, mode="drop")
 
-    # 5) Ballistic integration for thrown cubes (envs.py:1314-1329).
-    thrown = (state.cube_status == CUBE_THROWN) & active
-    dt = constants.SIM_DT
-    vel = cube_vel + jnp.where(
-        thrown[:, None], jnp.array([0.0, 0.0, -constants.GRAVITY * dt]), 0.0
-    )
-    pos3 = cube_pos + jnp.where(thrown[:, None], vel * dt, 0.0)
-    h, w = params.map_shape
-    gi, gj = geometry.position_to_pixel(pos3[:, 0], pos3[:, 1], h, w)
-    on_wall = state.wall_map[gi, gj]
-    rest_z = jnp.where(on_wall, constants.WALL_HEIGHT + CUBE_R, CUBE_R)
-    landed = thrown & (pos3[:, 2] <= rest_z) & (vel[:, 2] < 0)
-    pos3 = pos3.at[:, 2].set(jnp.where(landed, rest_z, pos3[:, 2]))
-    vel = jnp.where(landed[:, None], vel * jnp.array([0.3, 0.3, 0.0]), vel)
-    cube_pos = jnp.where(thrown[:, None], pos3, cube_pos)
-    cube_vel = jnp.where(thrown[:, None], vel, cube_vel)
+    # 5) Ballistic integration for thrown cubes (envs.py:1314-1329).  Gated
+    # statically: only throwing robots set CUBE_THROWN, and the landing test
+    # is the one map gather in the substep loop.
+    if _has_type(params, "throwing_robot"):
+        thrown = (state.cube_status == CUBE_THROWN) & active
+        dt = constants.SIM_DT
+        vel = cube_vel + jnp.where(
+            thrown[:, None], jnp.array([0.0, 0.0, -constants.GRAVITY * dt]), 0.0
+        )
+        pos3 = cube_pos + jnp.where(thrown[:, None], vel * dt, 0.0)
+        h, w = params.map_shape
+        gi, gj = geometry.position_to_pixel(pos3[:, 0], pos3[:, 1], h, w)
+        on_wall = state.wall_map[gi, gj]
+        rest_z = jnp.where(on_wall, constants.WALL_HEIGHT + CUBE_R, CUBE_R)
+        landed = thrown & (pos3[:, 2] <= rest_z) & (vel[:, 2] < 0)
+        pos3 = pos3.at[:, 2].set(jnp.where(landed, rest_z, pos3[:, 2]))
+        vel = jnp.where(landed[:, None], vel * jnp.array([0.3, 0.3, 0.0]), vel)
+        cube_pos = jnp.where(thrown[:, None], pos3, cube_pos)
+        cube_vel = jnp.where(thrown[:, None], vel, cube_vel)
 
     return state.replace(
         robot_pos=new_pos,
@@ -449,134 +465,148 @@ def controller_substep(params: EnvParams, state: EnvState, active) -> EnvState:
     # ---------------- _done_moving dispatch (envs.py:1480-1502) ----------
     state = state.replace(fsm=jnp.where(dm, IDLE, state.fsm))
 
+    # Per-type manipulation blocks are statically pruned when the team has
+    # no robot of that type (they cannot fire, and the substep loop runs
+    # thousands of times per action).
+    has_lifting = _has_type(params, "lifting_robot")
+    has_throwing = _has_type(params, "throwing_robot")
+    has_rescue = _has_type(params, "rescue_robot")
+    has_hooks = has_lifting or has_throwing or has_rescue
+
     # Lifting robots carrying a cube: drop (action channel 1) or keep.
     carrying = state.lifting
-    drop = dm & tm["lifting"] & carrying & (state.action[:, 0] == 1)
-    keep = dm & tm["lifting"] & carrying & (state.action[:, 0] != 1)
     carried = jnp.maximum(state.carried_cube, 0)
-    carried_xy = state.cube_pos[carried, :2]
+    if has_lifting:
+        drop = dm & tm["lifting"] & carrying & (state.action[:, 0] == 1)
+        keep = dm & tm["lifting"] & carrying & (state.action[:, 0] != 1)
+        carried_xy = state.cube_pos[carried, :2]
 
-    # Partial-reward segment closes at drop/keep with the carried position
-    # (envs.py:1210-1215, 1236-1239).
-    close_pr = drop | keep
-    state = state.replace(
-        pr_final=jnp.where(close_pr[:, None], carried_xy, state.pr_final),
-        pr_pending=state.pr_pending | close_pr,
-    )
+        # Partial-reward segment closes at drop/keep with the carried
+        # position (envs.py:1210-1215, 1236-1239).
+        close_pr = drop | keep
+        state = state.replace(
+            pr_final=jnp.where(close_pr[:, None], carried_xy, state.pr_final),
+            pr_pending=state.pr_pending | close_pr,
+        )
 
-    # drop_cube (envs.py:1236-1266): place ahead, score or mark pointless.
-    drop_offset = ee + constants.END_EFFECTOR_THICKNESS + CUBE_R
-    drop_xy = cur_p + drop_offset[:, None] * _dir(cur_h)
-    success = in_receptacle(params, drop_xy)
-    new_status = jnp.where(success, CUBE_REMOVED, CUBE_AVAILABLE)
-    placed = jnp.concatenate([drop_xy, jnp.full((r_n, 1), CUBE_R)], axis=-1)
-    new_cpos = jnp.where(success[:, None], _REMOVED_POS, placed)
-    state = state.replace(
-        cube_status=_scatter_cube(state.cube_status, carried, drop, new_status, c_n),
-        cube_pos=_scatter_cube(state.cube_pos, carried, drop, new_cpos, c_n),
-        cube_heading=_scatter_cube(state.cube_heading, carried, drop, cur_h, c_n),
-        cubes=state.cubes + (drop & success).astype(jnp.int32),
-        cubes_with_reward=state.cubes_with_reward + (drop & success).astype(jnp.int32),
-        pointless_drop=state.pointless_drop | (drop & ~success),
-        lifting=jnp.where(drop, False, state.lifting),
-        carried_cube=jnp.where(drop, -1, state.carried_cube),
-        fsm=jnp.where(drop, MANIPULATING, state.fsm),
-        manip_target=jnp.where(drop, constants.MANIPULATION_STEPS_DROP, state.manip_target),
-        manip_steps=jnp.where(drop, 0, state.manip_steps),
-    )
+        # drop_cube (envs.py:1236-1266): place ahead, score or mark pointless.
+        drop_offset = ee + constants.END_EFFECTOR_THICKNESS + CUBE_R
+        drop_xy = cur_p + drop_offset[:, None] * _dir(cur_h)
+        success = in_receptacle(params, drop_xy)
+        new_status = jnp.where(success, CUBE_REMOVED, CUBE_AVAILABLE)
+        placed = jnp.concatenate([drop_xy, jnp.full((r_n, 1), CUBE_R)], axis=-1)
+        new_cpos = jnp.where(success[:, None], _REMOVED_POS, placed)
+        state = state.replace(
+            cube_status=_scatter_cube(state.cube_status, carried, drop, new_status, c_n),
+            cube_pos=_scatter_cube(state.cube_pos, carried, drop, new_cpos, c_n),
+            cube_heading=_scatter_cube(state.cube_heading, carried, drop, cur_h, c_n),
+            cubes=state.cubes + (drop & success).astype(jnp.int32),
+            cubes_with_reward=state.cubes_with_reward + (drop & success).astype(jnp.int32),
+            pointless_drop=state.pointless_drop | (drop & ~success),
+            lifting=jnp.where(drop, False, state.lifting),
+            carried_cube=jnp.where(drop, -1, state.carried_cube),
+            fsm=jnp.where(drop, MANIPULATING, state.fsm),
+            manip_target=jnp.where(drop, constants.MANIPULATION_STEPS_DROP, state.manip_target),
+            manip_steps=jnp.where(drop, 0, state.manip_steps),
+        )
 
-    # Grab attempts (hooks robots at their final waypoint with a candidate,
-    # envs.py:1489-1502).  Lowest robot index wins a contested cube.
-    near = (
-        jnp.linalg.norm(cur_p - state.waypoints[ridx, state.num_wp - 1], axis=-1)
-        < constants.DRIVE_STEP_SIZE
-    )
-    try_grab = dm & tm["hooks"] & ~(tm["lifting"] & carrying) & (
-        state.potential_cube >= 0
-    ) & near
-    cand = ray_test_cubes_all(params, state)
-    want = try_grab & (cand >= 0)
-    same = (cand[:, None] == cand[None, :]) & want[:, None] & want[None, :]
-    loses = jnp.any(same & jnp.tril(jnp.ones((r_n, r_n), bool), -1), axis=1)
-    win = want & ~loses
-    cand_xy = state.cube_pos[jnp.maximum(cand, 0), :2]
+    if has_hooks:
+        # Grab attempts (hooks robots at their final waypoint with a
+        # candidate, envs.py:1489-1502).  Lowest robot index wins a
+        # contested cube.
+        near = (
+            jnp.linalg.norm(cur_p - state.waypoints[ridx, state.num_wp - 1], axis=-1)
+            < constants.DRIVE_STEP_SIZE
+        )
+        try_grab = dm & tm["hooks"] & ~(tm["lifting"] & carrying) & (
+            state.potential_cube >= 0
+        ) & near
+        cand = ray_test_cubes_all(params, state)
+        want = try_grab & (cand >= 0)
+        same = (cand[:, None] == cand[None, :]) & want[:, None] & want[None, :]
+        loses = jnp.any(same & jnp.tril(jnp.ones((r_n, r_n), bool), -1), axis=1)
+        win = want & ~loses
+        cand_xy = state.cube_pos[jnp.maximum(cand, 0), :2]
 
-    # lift_cube (envs.py:1217-1234)
-    lift = win & tm["lifting"]
-    lifted_offset = ee + constants.LIFTED_CUBE_OFFSET + CUBE_R
-    lifted_pos = jnp.concatenate(
-        [
-            cur_p + lifted_offset[:, None] * _dir(cur_h),
-            jnp.full((r_n, 1), constants.LIFTED_CUBE_HEIGHT + CUBE_R),
-        ],
-        axis=-1,
-    )
-    state = state.replace(
-        carried_cube=jnp.where(lift, cand, state.carried_cube),
-        lifting=state.lifting | lift,
-        cube_status=_scatter_cube(
-            state.cube_status, jnp.maximum(cand, 0), lift,
-            jnp.full((r_n,), CUBE_LIFTED), c_n,
-        ),
-        cube_pos=_scatter_cube(state.cube_pos, jnp.maximum(cand, 0), lift, lifted_pos, c_n),
-        cube_heading=_scatter_cube(state.cube_heading, jnp.maximum(cand, 0), lift, cur_h, c_n),
-        pr_initial=jnp.where(lift[:, None], cand_xy, state.pr_initial),
-    )
+    if has_lifting:
+        # lift_cube (envs.py:1217-1234)
+        lift = win & tm["lifting"]
+        lifted_offset = ee + constants.LIFTED_CUBE_OFFSET + CUBE_R
+        lifted_pos = jnp.concatenate(
+            [
+                cur_p + lifted_offset[:, None] * _dir(cur_h),
+                jnp.full((r_n, 1), constants.LIFTED_CUBE_HEIGHT + CUBE_R),
+            ],
+            axis=-1,
+        )
+        state = state.replace(
+            carried_cube=jnp.where(lift, cand, state.carried_cube),
+            lifting=state.lifting | lift,
+            cube_status=_scatter_cube(
+                state.cube_status, jnp.maximum(cand, 0), lift,
+                jnp.full((r_n,), CUBE_LIFTED), c_n,
+            ),
+            cube_pos=_scatter_cube(state.cube_pos, jnp.maximum(cand, 0), lift, lifted_pos, c_n),
+            cube_heading=_scatter_cube(state.cube_heading, jnp.maximum(cand, 0), lift, cur_h, c_n),
+            pr_initial=jnp.where(lift[:, None], cand_xy, state.pr_initial),
+        )
 
-    # prepare_throw + throw_cube (envs.py:1306-1329)
-    throw = win & tm["throwing"]
-    key, *tkeys = jax.random.split(state.key, 4)
-    fx = constants.THROW_FORCE_X_MEAN + constants.THROW_FORCE_X_STD * jax.random.normal(
-        tkeys[0], (r_n,)
-    )
-    fy = constants.THROW_FORCE_Y_MEAN + constants.THROW_FORCE_Y_STD * jax.random.normal(
-        tkeys[1], (r_n,)
-    )
-    fy = fy * jnp.where(jax.random.uniform(tkeys[2], (r_n,)) < 0.5, -1.0, 1.0)
-    kvel = constants.THROW_IMPULSE_TO_VELOCITY
-    ch, sh = jnp.cos(cur_h), jnp.sin(cur_h)
-    v = jnp.stack(
-        [(-fx) * ch - (-fy) * sh, (-fx) * sh + (-fy) * ch, jnp.zeros(r_n)], axis=-1
-    ) * kvel
-    back = jnp.concatenate(
-        [
-            cur_p + constants.ROBOT_BACKPACK_OFFSET * _dir(cur_h),
-            jnp.full((r_n, 1), constants.ROBOT_HEIGHT + constants.CUBE_WIDTH),
-        ],
-        axis=-1,
-    )
-    state = state.replace(
-        key=jnp.where(jnp.any(throw), key, state.key),
-        carried_cube=jnp.where(throw, cand, state.carried_cube),
-        cube_status=_scatter_cube(
-            state.cube_status, jnp.maximum(cand, 0), throw,
-            jnp.full((r_n,), CUBE_THROWN), c_n,
-        ),
-        cube_pos=_scatter_cube(state.cube_pos, jnp.maximum(cand, 0), throw, back, c_n),
-        cube_heading=_scatter_cube(state.cube_heading, jnp.maximum(cand, 0), throw, cur_h, c_n),
-        cube_vel=_scatter_cube(state.cube_vel, jnp.maximum(cand, 0), throw, v, c_n),
-        pr_initial=jnp.where(throw[:, None], cand_xy, state.pr_initial),
-        fsm=jnp.where(throw, MANIPULATING, state.fsm),
-        manip_target=jnp.where(
-            throw, constants.MANIPULATION_STEPS_THROW, state.manip_target
-        ),
-        manip_steps=jnp.where(throw, 0, state.manip_steps),
-    )
+    if has_throwing:
+        # prepare_throw + throw_cube (envs.py:1306-1329)
+        throw = win & tm["throwing"]
+        key, *tkeys = jax.random.split(state.key, 4)
+        fx = constants.THROW_FORCE_X_MEAN + constants.THROW_FORCE_X_STD * jax.random.normal(
+            tkeys[0], (r_n,)
+        )
+        fy = constants.THROW_FORCE_Y_MEAN + constants.THROW_FORCE_Y_STD * jax.random.normal(
+            tkeys[1], (r_n,)
+        )
+        fy = fy * jnp.where(jax.random.uniform(tkeys[2], (r_n,)) < 0.5, -1.0, 1.0)
+        kvel = constants.THROW_IMPULSE_TO_VELOCITY
+        ch, sh = jnp.cos(cur_h), jnp.sin(cur_h)
+        v = jnp.stack(
+            [(-fx) * ch - (-fy) * sh, (-fx) * sh + (-fy) * ch, jnp.zeros(r_n)], axis=-1
+        ) * kvel
+        back = jnp.concatenate(
+            [
+                cur_p + constants.ROBOT_BACKPACK_OFFSET * _dir(cur_h),
+                jnp.full((r_n, 1), constants.ROBOT_HEIGHT + constants.CUBE_WIDTH),
+            ],
+            axis=-1,
+        )
+        state = state.replace(
+            key=jnp.where(jnp.any(throw), key, state.key),
+            carried_cube=jnp.where(throw, cand, state.carried_cube),
+            cube_status=_scatter_cube(
+                state.cube_status, jnp.maximum(cand, 0), throw,
+                jnp.full((r_n,), CUBE_THROWN), c_n,
+            ),
+            cube_pos=_scatter_cube(state.cube_pos, jnp.maximum(cand, 0), throw, back, c_n),
+            cube_heading=_scatter_cube(state.cube_heading, jnp.maximum(cand, 0), throw, cur_h, c_n),
+            cube_vel=_scatter_cube(state.cube_vel, jnp.maximum(cand, 0), throw, v, c_n),
+            pr_initial=jnp.where(throw[:, None], cand_xy, state.pr_initial),
+            fsm=jnp.where(throw, MANIPULATING, state.fsm),
+            manip_target=jnp.where(
+                throw, constants.MANIPULATION_STEPS_THROW, state.manip_target
+            ),
+            manip_steps=jnp.where(throw, 0, state.manip_steps),
+        )
 
-    # rescue_cube (envs.py:1358-1366): immediate removal + score.
-    rescue = win & tm["rescue"]
-    state = state.replace(
-        cube_status=_scatter_cube(
-            state.cube_status, jnp.maximum(cand, 0), rescue,
-            jnp.full((r_n,), CUBE_REMOVED), c_n,
-        ),
-        cube_pos=_scatter_cube(
-            state.cube_pos, jnp.maximum(cand, 0), rescue,
-            jnp.tile(_REMOVED_POS[None], (r_n, 1)), c_n,
-        ),
-        cubes=state.cubes + rescue.astype(jnp.int32),
-        cubes_with_reward=state.cubes_with_reward + rescue.astype(jnp.int32),
-    )
+    if has_rescue:
+        # rescue_cube (envs.py:1358-1366): immediate removal + score.
+        rescue = win & tm["rescue"]
+        state = state.replace(
+            cube_status=_scatter_cube(
+                state.cube_status, jnp.maximum(cand, 0), rescue,
+                jnp.full((r_n,), CUBE_REMOVED), c_n,
+            ),
+            cube_pos=_scatter_cube(
+                state.cube_pos, jnp.maximum(cand, 0), rescue,
+                jnp.tile(_REMOVED_POS[None], (r_n, 1)), c_n,
+            ),
+            cubes=state.cubes + rescue.astype(jnp.int32),
+            cubes_with_reward=state.cubes_with_reward + rescue.astype(jnp.int32),
+        )
 
     # ---------------- servo retarget (envs.py:1437-1461) -----------------
     still = mov & (state.fsm == MOVING)
@@ -614,28 +644,29 @@ def controller_substep(params: EnvParams, state: EnvState, active) -> EnvState:
         manip_target=jnp.where(fin, 0, state.manip_target),
     )
 
-    # finish_throw_cube (envs.py:1331-1343)
-    fin_throw = fin & tm["throwing"]
-    c2 = jnp.maximum(state.carried_cube, 0)
-    cube_xy2 = state.cube_pos[c2, :2]
-    succ2 = in_receptacle(params, cube_xy2)
-    st2 = jnp.where(succ2, CUBE_REMOVED, CUBE_AVAILABLE)
-    landed_pos = state.cube_pos[c2].at[:, 2].set(
-        jnp.maximum(state.cube_pos[c2, 2], CUBE_R)
-    )
-    pos2 = jnp.where(succ2[:, None], _REMOVED_POS, landed_pos)
-    state = state.replace(
-        pr_final=jnp.where(fin_throw[:, None], cube_xy2, state.pr_final),
-        pr_pending=state.pr_pending | fin_throw,
-        cube_status=_scatter_cube(state.cube_status, c2, fin_throw, st2, c_n),
-        cube_pos=_scatter_cube(state.cube_pos, c2, fin_throw, pos2, c_n),
-        cube_vel=_scatter_cube(state.cube_vel, c2, fin_throw, jnp.zeros((r_n, 3)), c_n),
-        cubes=state.cubes + (fin_throw & succ2).astype(jnp.int32),
-        cubes_with_reward=state.cubes_with_reward
-        + (fin_throw & succ2).astype(jnp.int32),
-        carried_cube=jnp.where(fin_throw, -1, state.carried_cube),
-        fsm=jnp.where(fin, IDLE, state.fsm),
-    )
+    if has_throwing:
+        # finish_throw_cube (envs.py:1331-1343)
+        fin_throw = fin & tm["throwing"]
+        c2 = jnp.maximum(state.carried_cube, 0)
+        cube_xy2 = state.cube_pos[c2, :2]
+        succ2 = in_receptacle(params, cube_xy2)
+        st2 = jnp.where(succ2, CUBE_REMOVED, CUBE_AVAILABLE)
+        landed_pos = state.cube_pos[c2].at[:, 2].set(
+            jnp.maximum(state.cube_pos[c2, 2], CUBE_R)
+        )
+        pos2 = jnp.where(succ2[:, None], _REMOVED_POS, landed_pos)
+        state = state.replace(
+            pr_final=jnp.where(fin_throw[:, None], cube_xy2, state.pr_final),
+            pr_pending=state.pr_pending | fin_throw,
+            cube_status=_scatter_cube(state.cube_status, c2, fin_throw, st2, c_n),
+            cube_pos=_scatter_cube(state.cube_pos, c2, fin_throw, pos2, c_n),
+            cube_vel=_scatter_cube(state.cube_vel, c2, fin_throw, jnp.zeros((r_n, 3)), c_n),
+            cubes=state.cubes + (fin_throw & succ2).astype(jnp.int32),
+            cubes_with_reward=state.cubes_with_reward
+            + (fin_throw & succ2).astype(jnp.int32),
+            carried_cube=jnp.where(fin_throw, -1, state.carried_cube),
+        )
+    state = state.replace(fsm=jnp.where(fin, IDLE, state.fsm))
     return state
 
 

@@ -40,15 +40,14 @@ def current_seg_map(params: EnvParams, state: EnvState):
     seg = state.seg_base
 
     # Cubes (available or lifted are drawn; lifted cubes hover at the robot's
-    # front and the overhead view sees them).
-    def add_cube(seg, c):
-        drawn = (state.cube_status[c] == CUBE_AVAILABLE) | (
-            state.cube_status[c] == CUBE_LIFTED
-        )
-        m = raster_ops.cube_mask(xs, ys, state.cube_pos[c, :2], state.cube_heading[c])
-        return jnp.where(m & drawn, jnp.uint8(constants.SEG_CUBE), seg), None
-
-    seg, _ = jax.lax.scan(add_cube, seg, jnp.arange(params.num_cubes))
+    # front and the overhead view sees them).  One vectorized any-over-cubes
+    # instead of a sequential per-cube scan.
+    drawn = (state.cube_status == CUBE_AVAILABLE) | (state.cube_status == CUBE_LIFTED)
+    masks = jax.vmap(
+        lambda p, hd: raster_ops.cube_mask(xs, ys, p, hd)
+    )(state.cube_pos[:, :2], state.cube_heading)           # (C, H, W)
+    any_cube = jnp.any(masks & drawn[:, None, None], axis=0)
+    seg = jnp.where(any_cube, jnp.uint8(constants.SEG_CUBE), seg)
 
     # Robots blank out to 0.
     base_lengths = jnp.asarray(params.base_lengths)
@@ -103,7 +102,8 @@ def update_robot_maps(params: EnvParams, state: EnvState, robot_mask):
 
     def upd(overhead_r, occ_r, pos, heading, active):
         vis = visibility.visible_mask(
-            state.wall_map, pos, heading, params.use_partial_observations
+            state.rects, state.corners, state.wall_map, pos, heading,
+            params.use_partial_observations,
         )
         vis = vis & active
         overhead = jnp.where(vis, seg_now, overhead_r)

@@ -581,6 +581,12 @@ class FusedTrainer:
         last_tinfo = [None] * self.policy.num_groups
         log_every_rounds = 8
         round_count = 0
+        # Optional jax.profiler capture: trace rounds [16, 24) after the
+        # compile warm-up (cfg.profile_trace_dir; view with TensorBoard or
+        # xprof).  Reference counterpart: wall-clock timing meters only
+        # (train_multiprocess.py:244-246) — this exposes real device traces.
+        trace_dir = cfg.get("profile_trace_dir")
+        tracing = False
 
         while self.timestep < total_with_warmup:
             eps = exploration_eps(cfg, self.timestep, learning_starts)
@@ -631,6 +637,13 @@ class FusedTrainer:
                     next_target_sync += cfg.target_update_freq
 
             round_count += 1
+            if trace_dir and round_count == 16 and not tracing:
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
+            if tracing and round_count == 24:
+                jax.block_until_ready(ls.env.robot_pos)
+                jax.profiler.stop_trace()
+                tracing = False
             if log_fn is not None and (
                 round_count % log_every_rounds == 0
                 or self.timestep >= total_with_warmup

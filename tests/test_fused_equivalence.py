@@ -35,33 +35,33 @@ def _weights(shape):
             np.arange(shape[0]), np.arange(shape[1]), np.arange(shape[2]),
             indexing="ij",
         )
-        _W = ((i * 7 + j * 13 + c * 29) % 97 / 97.0).astype(np.float32)
+        _W = ((i * 7 + j * 13 + c * 29) % 97).astype(np.int32)
     return _W
 
 
 def scripted_actions(obs):
     """Deterministic chaotic function of the (quantized) observation.
 
-    Quantizes through bfloat16 first: the fused loop stores pending
-    observations in bf16, so hashing the bf16 image makes both paths see
-    identical bits (bf16 round-trip is idempotent).
+    Quantizes through bfloat16 first (the fused loop stores pending
+    observations in bf16, so both paths see identical bits), then hashes in
+    EXACT integer arithmetic — a float32 sum over 36k terms is
+    reduction-order dependent across differently-fused jit graphs.
     """
     obs = jnp.asarray(obs).astype(jnp.bfloat16).astype(jnp.float32)
-    q = jnp.round(obs * 64.0)
+    q = jnp.round(obs * 64.0).astype(jnp.int32)
     w = jnp.asarray(_weights(obs.shape[1:]))
-    s = jnp.sum(q * w, axis=(1, 2, 3))
-    frac = s * 0.6180339887
-    frac = frac - jnp.floor(frac)
-    return (frac * SPACE).astype(jnp.int32)
+    s = jnp.sum(q * w, axis=(1, 2, 3)).astype(jnp.uint32)
+    h = s * jnp.uint32(2654435761)  # Knuth multiplicative hash, wraps mod 2^32
+    return (h % jnp.uint32(SPACE)).astype(jnp.int32)
 
 
 def checksum(obs):
-    """Deterministic scalar fingerprint of a (96, 96, C) observation."""
+    """Deterministic integer fingerprint of a (96, 96, C) observation."""
     import ml_dtypes
 
     obs = np.asarray(obs, np.float32).astype(ml_dtypes.bfloat16).astype(np.float32)
-    q = np.round(obs * 64.0)
-    return float(np.sum(q * _weights(obs.shape), dtype=np.float64))
+    q = np.round(obs * 64.0).astype(np.int64)
+    return int(np.sum(q * _weights(obs.shape).astype(np.int64)))
 
 
 class ScriptedPolicy:
@@ -166,7 +166,7 @@ def test_fused_round_equals_lockstep_trajectories(params):
             # Same action, same reward, same observation fingerprint.
             assert a[0] == b[0], (e, t, a, b)
             assert a[1] == pytest.approx(b[1], abs=2e-3), (e, t, a, b)
-            assert a[2] == pytest.approx(b[2], rel=1e-6), (e, t, a, b)
+            assert a[2] == b[2], (e, t, a, b)
 
     # Aggregate agreement: reward sums and episode lengths.
     for e in range(B):

@@ -85,10 +85,16 @@ def test_ramp_values_decay_along_path():
 
 def test_ramp_clips_below_zero_on_long_paths():
     params = _params()
+    # Two-segment path of total length ~1.09 m (> 1/scale): values clip at 0
+    # near the target (np.clip(..., 0, 1), envs.py:2334).
     state = _state_with_path(params, (-0.45, 0.0), (0.45, -0.2))
+    wps = state.waypoints.at[1, 1].set(jnp.asarray([0.0, 0.2]))
+    state = state.replace(
+        waypoints=wps,
+        num_wp=state.num_wp.at[1].set(3),
+        wp_index=state.wp_index.at[1].set(1),
+    )
     g = np.asarray(mapper.global_intention_or_history_map(params, state, 0, "ramp"))
-    # Path length > 1 m x scale 1.0 => values clip at 0 near the target
-    # (np.clip(..., 0, 1), envs.py:2334).
     i, j = _px(params, 0.45, -0.2)
     assert g[i, j] == pytest.approx(0.0, abs=1e-6)
     i, j = _px(params, -0.45, 0.0)

@@ -58,7 +58,7 @@ def test_oracle_transitions_drive_loss_down():
 
     # cubes > 0 through the real env (the oracle scores within a few actions)
     assert total_cubes > 0
-    assert int(buffer.size) >= 8
+    assert int(buffer.size) >= 6  # a fast oracle episode is ~7 actions
 
     # Thin FCN + the production Double-DQN update: loss decreases.
     model = FCN(num_output_channels=2, layer_planes=(8, 8, 8, 8),

@@ -41,7 +41,10 @@ def test_crop_rotate_vs_scipy():
     # two pipelines may differ by sub-pixel rounding at region boundaries,
     # but regions must agree.
     rng = np.random.RandomState(0)
-    h, w = constants.global_map_shape(1.0, 0.5)
+    # Synthetic canvas big enough for scipy's sqrt(2)*96 crop window around
+    # the test positions (the production canvas is compact and relies on
+    # clamped gathers instead; this test checks the resampling math only).
+    h, w = 224, 240
     blocks = (rng.rand(h // 16 + 1, w // 16 + 1) * 8).astype(np.int32)
     gmap = np.kron(blocks, np.ones((16, 16)))[:h, :w].astype(np.float32) / 8
     extract = jax.jit(raster_ops.extract_local_map)
@@ -123,17 +126,19 @@ def test_forward_visibility_wedge():
     from spatial_intention_maps_tpu.ops import visibility
 
     h, w = constants.global_map_shape(1.0, 1.0)
+    # A divider-like wall segment 0.4 m ahead of the camera (robot at origin
+    # facing +x): x in [0.4, 0.45], y in [-0.1, 0.1].  The analytic raycast
+    # takes the layout rects; the raster only feeds the walls-visible-at-
+    # range-0 term.
+    rects = jnp.asarray([[0.425, 0.0, 0.025, 0.1]], jnp.float32)
+    corners = jnp.zeros((0, 3), jnp.float32)
     wall = np.zeros((h, w), bool)
-    # A wall segment 0.4 m ahead of the camera (robot at origin facing +x),
-    # divider-thick (~5 px; ray sampling is ~1.6 px so 1-px walls would be
-    # hoppable — real obstacles are never thinner than a divider).
     i, j = geometry.position_to_pixel(jnp.float32(0.4), jnp.float32(0.0), h, w)
     wall[int(i) - 10 : int(i) + 10, int(j) : int(j) + 5] = True
-    # (i indexes y; the wall spans y in [-0.1, 0.1] at x in [0.4, 0.45])
 
     mask = np.asarray(
         visibility.forward_visible_mask(
-            jnp.asarray(wall), jnp.zeros(2), jnp.float32(0.0)
+            rects, corners, jnp.asarray(wall), jnp.zeros(2), jnp.float32(0.0)
         )
     )
 

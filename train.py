@@ -99,13 +99,14 @@ def main(cfg, num_devices=None):
                 print("qmap visualization failed:", e)
             next_vis += ckpt_every
         if timestep >= next_ckpt:
-            # Replay buffers are the dominant device->host transfer on a
-            # remote TPU; include them every 10th save (and always resumable
-            # from the policy + opt state either way).
-            nth = int(next_ckpt // ckpt_every)
+            # Replay buffers are a ~GB device->host transfer; on a
+            # remote-attached TPU (10 MB/s tunnel) a single buffer pull
+            # stalls training for many minutes, so buffer checkpoints are
+            # strictly opt-in (cfg.checkpoint_include_buffers).  Resume
+            # without buffers matches the reference's policy-only resume.
             save_checkpoint(
                 checkpoint_dir, timestep, trainer,
-                include_buffers=(nth % 10 == 0),
+                include_buffers=bool(cfg.get("checkpoint_include_buffers", False)),
             )
             cfg.policy_path = str(checkpoint_dir / f"policy_{timestep:08d}")
             cfg.checkpoint_path = str(checkpoint_dir / f"checkpoint_{timestep:08d}")
@@ -125,6 +126,10 @@ if __name__ == "__main__":
         help="shard the env batch over an N-device dp mesh "
              "(default: cfg.mesh_shape or 1)",
     )
+    parser.add_argument(
+        "--trace-dir", default=None,
+        help="capture a jax.profiler device trace of rounds 16-24",
+    )
     args = parser.parse_args()
     config_path = args.config_path
     if config_path is None:
@@ -133,4 +138,7 @@ if __name__ == "__main__":
         print("no config found; pass --config-path")
         sys.exit(1)
     config_path = config_mod.setup_run(config_path)
-    main(config_mod.load_config(config_path), num_devices=args.num_devices)
+    cfg = config_mod.load_config(config_path)
+    if args.trace_dir:
+        cfg.profile_trace_dir = args.trace_dir
+    main(cfg, num_devices=args.num_devices)
