@@ -161,12 +161,14 @@ MAX_WAYPOINTS = 8           # after line-of-sight simplification
 BACKTRACE_MAX_STEPS = 384   # dense steepest-descent path length (pixels)
 # Stride bounds the blind-fallback chord at sharp corners: clips stay within
 # the robot-radius dilation margin of the configuration space.
-BACKTRACE_STRIDE = 8        # subsample stride before LOS simplification
+BACKTRACE_STRIDE = 4        # subsample stride before LOS simplification
+                            # (8 made blind-fallback corner clips deeper
+                            # than the cspace dilation margin)
 # LOS sample spacing must stay under ~4 px even for jumps spanning the whole
 # backtraced path (<= 448 px), or string pulling can clip thin blocked cells.
-LOS_SAMPLES = 64            # samples per LOS segment test (~2.3 px apart
-                            # on the compact canvas; dividers+dilation are
-                            # >= 10 px wide, so lines cannot thread them)
+LOS_SAMPLES = 96            # samples per LOS segment test: <=2.1 px apart
+                            # even for chords spanning the whole backtraced
+                            # path, so thin blocked cells cannot be skipped
 NUM_VIS_RAYS = 112          # FOV raycast rays over the 90 deg wedge
 NUM_VIS_STEPS = 64          # raycast samples along each ray (~1.6 px apart)
 SPAWN_REJECTION_TRIES = 16  # pose rejection-sampling attempts

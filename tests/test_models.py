@@ -80,11 +80,13 @@ def test_dqn_update_runs_and_learns():
     p0 = jax.tree.leaves(ts.variables["params"])[0]
     p1 = jax.tree.leaves(ts1.variables["params"])[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
-    # Loss decreases over a few updates on the same batch
-    tsn, info_n = ts1, info1
-    for _ in range(5):
+    # Loss decreases over repeated updates on the same fixed targets (SGD
+    # momentum overshoots on a 5-step horizon; compare a settled tail).
+    tsn, losses = ts1, []
+    for _ in range(20):
         tsn, info_n = update(tsn, batch)
-    assert float(info_n["loss"]) < float(info1["loss"])
+        losses.append(float(info_n["loss"]))
+    assert np.mean(losses[-3:]) < float(info1["loss"]), (losses, info1["loss"])
     # Target sync copies params
     tsn = dqn.sync_target(tsn)
     t0 = jax.tree.leaves(tsn.target_variables["params"])[0]
