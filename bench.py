@@ -27,7 +27,7 @@ BASELINE_PER_CHIP = 12_500.0
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "512"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "1024"))
     num_rounds = int(os.environ.get("BENCH_NUM_ROUNDS", "40"))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", "64"))
     # random: env-only fused loop (primary driver metric).

@@ -55,11 +55,18 @@ def run_eval(cfg, num_episodes=20, policy=None):
     return episodes
 
 
-def run_eval_batched(cfg, num_episodes=20, max_actions=2000):
+def run_eval_batched(cfg, num_episodes=20, max_actions=2000, max_seconds=2700):
     """Protocol-equivalent batched eval: ``num_episodes`` envs (episode keys
     split from seed 0) each roll ONE greedy episode in parallel through the
     jitted BatchedEnv — same per-step records, ~num_episodes x faster on a
-    remote-attached chip than the sequential reference protocol."""
+    remote-attached chip than the sequential reference protocol.
+
+    Episodes that exceed ``max_actions`` / ``max_seconds`` are returned
+    truncated (their cubes-vs-steps records up to the cap still feed the
+    cutoff analysis; a run is never lost to one degenerate episode).
+    """
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +86,15 @@ def run_eval_batched(cfg, num_episodes=20, max_actions=2000):
     episodes = [[] for _ in range(b)]
     key = jax.random.PRNGKey(EVAL_SEED + 1)
     benv = jnp.arange(b)
-    for _ in range(max_actions):
+    t0 = time.time()
+    for t in range(max_actions):
+        if time.time() - t0 > max_seconds:
+            print(f"eval wall cap hit at action {t}; "
+                  f"{int(active.sum())} episode(s) truncated", flush=True)
+            break
+        if t and t % 200 == 0:
+            print(f"action {t}: {b - int(active.sum())}/{b} episodes done",
+                  flush=True)
         key, k = jax.random.split(key)
         acts = act(variables, obs, group, k)
         actions_br = jnp.full((b, params.num_robots), -1, jnp.int32)

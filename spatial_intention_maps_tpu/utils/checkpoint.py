@@ -15,7 +15,9 @@ import orbax.checkpoint as ocp
 
 def _save_tree(path: Path, tree):
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path.resolve(), jax.tree.map(np.asarray, tree))
+    # force: the end-of-run save may target the same timestep the periodic
+    # log_fn save already wrote.
+    ckptr.save(path.resolve(), jax.tree.map(np.asarray, tree), force=True)
 
 
 def _load_tree(path: Path, target=None):
