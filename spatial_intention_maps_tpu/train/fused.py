@@ -610,7 +610,10 @@ class FusedTrainer:
             self.episode += int(m["episodes"])
 
             if self.timestep >= learning_starts:
-                min_fill = cfg.batch_size * self.num_devices
+                # The reference's replay-size precondition (buffer >= batch,
+                # train_multiprocess.py:365), counted across shards; small
+                # shard rings sample with replacement.
+                min_fill = cfg.batch_size
                 train_credit += served / cfg.train_freq
                 while train_credit >= 1.0:
                     train_credit -= 1.0
