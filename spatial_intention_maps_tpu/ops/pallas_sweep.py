@@ -324,7 +324,7 @@ def sweep_pallas_stream(dist, payload, free, num_pass_pairs=3):
     kernel = functools.partial(
         _stream_kernel, h=h, bp=bp, wp=wp, num_pass_pairs=num_pass_pairs
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     dist_o, payload_o = pl.pallas_call(
         kernel,
         in_specs=[any_spec, any_spec, any_spec],
