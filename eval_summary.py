@@ -136,6 +136,12 @@ def show_curves(runs, output_path):
     print("curves saved to", output_path)
 
 
+def count_truncated(data):
+    """Episodes whose final record carries the batched-eval truncation flag
+    (wall/action cap hit before a task-rule termination)."""
+    return sum(1 for ep in data if len(ep) and ep[-1].get("truncated"))
+
+
 def main(eval_dir, plot=None):
     runs = load_all(eval_dir)
     if not runs:
@@ -147,6 +153,11 @@ def main(eval_dir, plot=None):
     for (cfg_env, method), vals in sorted(results.items()):
         for mean, std in vals:
             print(f"{cfg_env:40s} {method:28s} {mean:8.2f} +- {std:.2f}")
+    for run_name, data in sorted(runs.items()):
+        n_trunc = count_truncated(data)
+        if n_trunc:
+            print(f"WARNING: {run_name}: {n_trunc} truncated episode(s) "
+                  f"(hit eval caps, not task-rule termination)")
     if plot:
         show_curves(runs, plot)
 

@@ -126,12 +126,23 @@ def run_eval_batched(cfg, num_episodes=20, max_actions=2000, max_seconds=2700):
         active &= ~done_np
         if not active.any():
             break
+    # Episodes cut off by max_actions/max_seconds did NOT terminate by task
+    # rules (all cubes / inactivity cutoff, envs.py:163, 294) — mark them so
+    # eval_summary can surface the protocol divergence instead of silently
+    # treating the capped record as a finished episode.
+    for e in np.nonzero(active)[0]:
+        if episodes[e]:
+            episodes[e][-1]["truncated"] = True
     return episodes
 
 
-def main(cfg, num_episodes, batched=False):
+def main(cfg, num_episodes, batched=False, max_actions=2000, max_seconds=2700):
     eval_dir = config_mod.get_eval_dir()
-    data = (run_eval_batched if batched else run_eval)(cfg, num_episodes)
+    if batched:
+        data = run_eval_batched(cfg, num_episodes, max_actions=max_actions,
+                                max_seconds=max_seconds)
+    else:
+        data = run_eval(cfg, num_episodes)
     eval_dir.mkdir(parents=True, exist_ok=True)
     eval_path = eval_dir / "{}.npy".format(cfg.run_name)
     np.save(eval_path, np.array(data, dtype=object), allow_pickle=True)
@@ -146,9 +157,18 @@ if __name__ == "__main__":
         "--batched", action="store_true",
         help="run all episodes in parallel through the jitted BatchedEnv",
     )
+    parser.add_argument(
+        "--max-actions", type=int, default=2000,
+        help="batched-eval action cap (truncated episodes are flagged)",
+    )
+    parser.add_argument(
+        "--max-seconds", type=float, default=2700,
+        help="batched-eval wall-clock cap (truncated episodes are flagged)",
+    )
     args = parser.parse_args()
     config_path = args.config_path or config_mod.select_run()
     if config_path is None:
         print("no run found")
         sys.exit(1)
-    main(config_mod.load_config(config_path), args.num_episodes, args.batched)
+    main(config_mod.load_config(config_path), args.num_episodes, args.batched,
+         args.max_actions, args.max_seconds)

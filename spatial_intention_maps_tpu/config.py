@@ -164,14 +164,29 @@ def setup_run(config_path):
 
 
 def select_run(logs_dir=None):
-    """Non-interactive stand-in for the reference's radiolist picker
-    (utils.py:61-90): returns the most recent run's config path."""
+    """Interactive run picker (utils.py:61-90 parity): on a TTY, list runs
+    newest-first and prompt for a choice (Enter = most recent); otherwise —
+    scripts, CI, nohup — fall back to the most recent run."""
+    import sys
+
     logs_dir = get_logs_dir() if logs_dir is None else Path(logs_dir)
     if not logs_dir.exists():
         return None
     log_dirs = sorted(x for x in logs_dir.iterdir() if x.is_dir())
     if not log_dirs:
         return None
+    if len(log_dirs) > 1 and sys.stdin.isatty() and sys.stdout.isatty():
+        newest_first = list(reversed(log_dirs))
+        for i, d in enumerate(newest_first):
+            print(f"  [{i}] {d.name}")
+        try:
+            choice = input(f"select run [0-{len(newest_first) - 1}] (default 0): ")
+            idx = int(choice) if choice.strip() else 0
+            if 0 <= idx < len(newest_first):
+                return newest_first[idx] / "config.yml"
+        except (ValueError, EOFError, KeyboardInterrupt):
+            pass
+        print("using most recent run")
     return log_dirs[-1] / "config.yml"
 
 

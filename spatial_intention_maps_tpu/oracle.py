@@ -102,6 +102,7 @@ def run_oracle_episode(params, step_fn, state, max_actions=120):
     actions)`` (the real env.step).  Returns (state, total_cubes,
     total_reward, n_actions)."""
     total_reward = 0.0
+    t = -1  # stays -1 if max_actions <= 0 so n_actions reports 0
     for t in range(max_actions):
         actions = oracle_action(params, state)
         out = step_fn(state, jnp.asarray(actions))

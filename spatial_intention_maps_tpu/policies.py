@@ -102,9 +102,18 @@ class DQNPolicy:
         if use_predicted_intention is None:
             use_predicted_intention = self.use_predicted_intention
         if use_predicted_intention:
-            # Replace the last (ground-truth intention) channel with the
-            # prediction (policies.py:124-138).
-            stripped = obs[..., :-1]
+            # Training states carry the ground-truth intention as the last
+            # channel: strip it and substitute the prediction
+            # (policies.py:124-138).  Eval states come from an env WITHOUT
+            # the intention map (predicted configs set use_intention_map
+            # false) — append the prediction to the full state instead
+            # (policies.py:119-131: the strip only happens when
+            # ``self.train``).
+            if obs.shape[-1] == self.num_input_channels:
+                stripped = obs[..., :-1]
+            else:
+                assert obs.shape[-1] == self.num_input_channels - 1, obs.shape
+                stripped = obs
             preds = self.predict_intention(variables, stripped)
             pred = _select_by_group(preds, group_ids)
             obs = jnp.concatenate([stripped, pred], axis=-1)

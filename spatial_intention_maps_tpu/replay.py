@@ -73,7 +73,14 @@ class ReplayBuffer:
         )
 
     def sample(self, key, batch_size: int):
-        """Uniform sample of ``batch_size`` transitions (train.py:41-43)."""
+        """Uniform sample of ``batch_size`` transitions (train.py:41-43).
+
+        Sampling an empty buffer would silently return the zero-initialized
+        row 0; callers inside jit must gate on ``size`` themselves (the
+        trainer's warm gate does), but eager callers fail loudly here.
+        """
+        if not isinstance(self.size, jax.core.Tracer) and int(self.size) < 1:
+            raise ValueError("ReplayBuffer.sample on an empty buffer")
         idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(self.size, 1))
         return dict(
             state=self.states[idx].astype(jnp.float32),

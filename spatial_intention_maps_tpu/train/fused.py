@@ -551,6 +551,16 @@ class FusedTrainer:
             return [int(b.size) for b in self.buffers]
         return [int(jnp.sum(b.size)) for b in self.buffers]
 
+    @property
+    def buffer_min_shard_sizes(self):
+        """Smallest per-shard ring fill per group.  The warm gate must use
+        this (not the summed fill): each shard samples its own ring, so an
+        empty shard behind a full one would otherwise train on
+        zero-initialized rows."""
+        if self.mesh is None:
+            return [int(b.size) for b in self.buffers]
+        return [int(jnp.min(b.size)) for b in self.buffers]
+
     def _variables(self):
         v = {"policy": [ts.variables for ts in self.train_states]}
         if self.policy.use_predicted_intention:
@@ -611,16 +621,18 @@ class FusedTrainer:
 
             if self.timestep >= learning_starts:
                 # The reference's replay-size precondition (buffer >= batch,
-                # train_multiprocess.py:365), counted across shards; small
-                # shard rings sample with replacement.
-                min_fill = cfg.batch_size
+                # train_multiprocess.py:365).  Sharded runs gate on the
+                # minimum per-shard fill vs the per-shard sample size: each
+                # shard samples its own ring, so a lagging shard must not be
+                # sampled while still empty.
+                min_fill = cfg.batch_size // self.num_devices
                 train_credit += served / cfg.train_freq
                 while train_credit >= 1.0:
                     train_credit -= 1.0
                     # Buffer-fill check syncs device->host; latch once warm
                     # (50 ms RTT per sync on remote-attached TPUs).
                     if not all(self._warm):
-                        sizes = self.buffer_sizes
+                        sizes = self.buffer_min_shard_sizes
                         self._warm = [
                             w or sizes[g] >= min_fill
                             for g, w in enumerate(self._warm)
@@ -656,6 +668,10 @@ class FusedTrainer:
                     if tinfo is not None:
                         metrics[f"loss/group_{g}"] = float(tinfo["loss"])
                         metrics[f"td_error/group_{g}"] = float(tinfo["td_error"])
+                        if "loss_intention" in tinfo:
+                            metrics[f"loss_intention/group_{g}"] = float(
+                                tinfo["loss_intention"]
+                            )
                         last_tinfo[g] = None
                 metrics.update(
                     timestep=self.timestep,
@@ -665,6 +681,8 @@ class FusedTrainer:
                     episode_cubes=float(m["episode_cubes"]),
                     episodes_this_round=int(m["episodes"]),
                 )
+                if "served_shard_min" in m:
+                    metrics["served_shard_min"] = int(m["served_shard_min"])
                 log_fn(self.timestep, metrics, m, None)
         return metrics
 
@@ -710,7 +728,12 @@ def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
         def body(ls, variables, eps):
             local = ls.replace(key=ls.key[0], round_idx=ls.round_idx[0])
             new_ls, trans, metrics = loop._round(local, variables, eps, use_gt)
+            # Per-shard service floor: selection runs per shard, so a shard
+            # whose envs all finish simultaneously can starve at small
+            # per-shard batches — surface it instead of assuming it away.
+            served_min = jax.lax.pmin(metrics["served"], axis)
             metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
+            metrics["served_shard_min"] = served_min
             new_ls = new_ls.replace(
                 key=new_ls.key[None], round_idx=new_ls.round_idx[None]
             )

@@ -133,3 +133,40 @@ def test_intention_update_learns():
         ts, info = update(ts, batch)
         losses.append(float(info["loss_intention"]))
     assert losses[-1] < losses[0] * 0.75, losses[::30]
+
+
+def test_predicted_intention_act_train_and_eval_shapes():
+    """Predicted-intention action selection must handle BOTH state layouts
+    (reference policies.py:119-138): training states that carry the
+    ground-truth intention as the last channel (strip + substitute), and
+    eval states from an env without the intention map (append).  Round-3
+    regression test: the eval path used to strip a REAL channel."""
+    from spatial_intention_maps_tpu.envs.types import EnvParams
+    from spatial_intention_maps_tpu.policies import DQNPolicy
+
+    params = EnvParams.from_robot_config(
+        [{"lifting_robot": 1}], env_name="small_empty",
+        room_length=1.0, room_width=0.5, num_cubes=2,
+        use_intention_map=True, intention_map_encoding="ramp",
+    )
+    c = params.num_state_channels  # includes the GT intention channel
+    policy = DQNPolicy(
+        params, num_input_channels=c, use_predicted_intention=True,
+        layer_planes=(8, 8, 8, 8), head_planes=(8, 8),
+    )
+    variables = policy.init(jax.random.PRNGKey(0))
+    gids = jnp.zeros((2,), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    # Train layout: C channels (with GT intention last).
+    obs_train = jax.random.uniform(jax.random.PRNGKey(2), (2, 96, 96, c))
+    a1, q1 = policy.act(variables, obs_train, gids, 0.0, key)
+    # Eval layout: C-1 channels (env without intention map).
+    obs_eval = obs_train[..., :-1]
+    a2, q2 = policy.act(variables, obs_eval, gids, 0.0, key)
+
+    # Identical underlying state => identical predictions => same actions.
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+    space = 2 * 96 * 96
+    assert np.all((np.asarray(a1) >= 0) & (np.asarray(a1) < space))

@@ -19,32 +19,25 @@ def template_config():
     return cfg
 
 
-def get_discount_factors(robot_config, offset=0):
-    """Per-group discount factors keyed by type + team size
-    (tools_generate_experiments.py:22-47)."""
-    discount_factor_list = [0.2, 0.35, 0.5, 0.65, 0.75, 0.85]
-    start_indices = {
-        "lifting_robot": 4,
-        "pushing_robot": 4,
-        "throwing_robot": 4,
-        "rescue_robot": 0,
-    }
-    num_robots = sum(next(iter(g.values())) for g in robot_config)
-    robot_group_types = [next(iter(g.keys())) for g in robot_config]
-    out = []
-    for robot_type in robot_group_types:
-        idx = start_indices[robot_type]
-        if num_robots > 1:
-            idx += 1
-        idx += offset
-        out.append(discount_factor_list[idx])
-    return out
+# Per-group discount by robot type and team size (the experiment spec from
+# reference tools_generate_experiments.py:22-47): manipulation types use
+# 0.75 solo / 0.85 in teams; rescue episodes are short, so 0.2 / 0.35.
+DISCOUNTS = {
+    "lifting_robot":  {"solo": 0.75, "team": 0.85},
+    "pushing_robot":  {"solo": 0.75, "team": 0.85},
+    "throwing_robot": {"solo": 0.75, "team": 0.85},
+    "rescue_robot":   {"solo": 0.20, "team": 0.35},
+}
 
 
-assert get_discount_factors([{"lifting_robot": 1}]) == [0.75]
-assert get_discount_factors([{"rescue_robot": 1}]) == [0.2]
-assert get_discount_factors([{"lifting_robot": 4}]) == [0.85]
-assert get_discount_factors([{"rescue_robot": 4}]) == [0.35]
+def get_discount_factors(robot_config):
+    """One discount per robot group, keyed on type + whole-team size."""
+    team = sum(n for g in robot_config for n in g.values()) > 1
+    return [
+        DISCOUNTS[robot_type]["team" if team else "solo"]
+        for g in robot_config
+        for robot_type in g
+    ]
 
 
 def generate_experiment(experiment_name, template_cfg, modify_cfg_fn, output_dir):

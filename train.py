@@ -114,7 +114,12 @@ def main(cfg, num_devices=None):
             next_ckpt += ckpt_every
 
     trainer.run(log_fn=log_fn)
-    save_checkpoint(checkpoint_dir, trainer.timestep, trainer)
+    # Buffers stay opt-in here too: the end-of-run ring pull is a multi-GB
+    # device->host transfer (many minutes through a remote-TPU tunnel).
+    save_checkpoint(
+        checkpoint_dir, trainer.timestep, trainer,
+        include_buffers=bool(cfg.get("checkpoint_include_buffers", False)),
+    )
     logger.close()
 
 
