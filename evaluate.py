@@ -136,9 +136,98 @@ def run_eval_batched(cfg, num_episodes=20, max_actions=2000, max_seconds=2700):
     return episodes
 
 
-def main(cfg, num_episodes, batched=False, max_actions=2000, max_seconds=2700):
+def run_eval_fused(cfg, num_episodes=20, max_rounds=40000, max_seconds=2700):
+    """Protocol-equivalent eval through the fused substep-budget loop.
+
+    The lockstep BatchedEnv steps to the SLOWEST env every action (~1000
+    on-device substeps per step at B=20), while the fused loop advances all
+    envs 64 substeps per round and services action boundaries as they
+    arrive — the same per-env trajectories (tests/test_fused_equivalence),
+    ~10x the eval throughput.  Per-round episode records come back through
+    small stacked arrays (one host read per K rounds — a remote-attached
+    TPU pays ~50 ms RTT per transfer).
+
+    Episodes that out-run ``max_rounds``/``max_seconds`` are flagged
+    truncated, like run_eval_batched.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spatial_intention_maps_tpu.train.fused import FusedLoop
+
+    params = factory.env_params_from_cfg(cfg)
+    helper = EvalPolicy(cfg)
+    policy, variables = helper.policy, helper.variables
+    eps = cfg.final_exploration
+
+    b = num_episodes
+    loop = FusedLoop(
+        params, num_envs=b, num_channels=params.num_state_channels,
+        substeps_per_round=64, service_capacity=b, policy=policy,
+    )
+    k_rounds = 32
+
+    @jax.jit
+    def drive(ls):
+        def body(ls, _):
+            ls, trans, _m = loop._round(ls, variables, eps, False)
+            rec = {
+                k: trans[k]
+                for k in ("env", "fin", "done", "sim_steps", "cubes", "collisions")
+            }
+            return ls, rec
+        return jax.lax.scan(body, ls, None, length=k_rounds)
+
+    ls = loop.init(jax.random.PRNGKey(EVAL_SEED))
+    episodes = [[] for _ in range(b)]
+    active = np.ones(b, bool)
+    t0 = time.time()
+    for block in range(max_rounds // k_rounds):
+        ls, recs = drive(ls)
+        recs = {k: np.asarray(v) for k, v in recs.items()}
+        for k in range(k_rounds):
+            for row in np.nonzero(recs["fin"][k])[0]:
+                e = int(recs["env"][k][row])
+                if e < 0 or not active[e]:
+                    continue
+                episodes[e].append(
+                    dict(
+                        simulation_steps=int(recs["sim_steps"][k][row]),
+                        cubes=int(recs["cubes"][k][row]),
+                        robot_collisions=int(recs["collisions"][k][row]),
+                    )
+                )
+                if bool(recs["done"][k][row]):
+                    active[e] = False
+                    rec = episodes[e][-1]
+                    print(
+                        f"episode done (env {e}): cubes={rec['cubes']} "
+                        f"sim_steps={rec['simulation_steps']}",
+                        flush=True,
+                    )
+        if not active.any():
+            break
+        if time.time() - t0 > max_seconds:
+            print(f"eval wall cap hit; {int(active.sum())} episode(s) "
+                  f"truncated", flush=True)
+            break
+        if block and block % 8 == 0:
+            print(f"round {block * k_rounds}: "
+                  f"{b - int(active.sum())}/{b} episodes done", flush=True)
+    for e in np.nonzero(active)[0]:
+        if episodes[e]:
+            episodes[e][-1]["truncated"] = True
+    return episodes
+
+
+def main(cfg, num_episodes, batched=False, max_actions=2000, max_seconds=2700,
+         fused=False):
     eval_dir = config_mod.get_eval_dir()
-    if batched:
+    if fused:
+        data = run_eval_fused(cfg, num_episodes, max_seconds=max_seconds)
+    elif batched:
         data = run_eval_batched(cfg, num_episodes, max_actions=max_actions,
                                 max_seconds=max_seconds)
     else:
@@ -165,10 +254,15 @@ if __name__ == "__main__":
         "--max-seconds", type=float, default=2700,
         help="batched-eval wall-clock cap (truncated episodes are flagged)",
     )
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="run all episodes through the fused substep-budget loop "
+             "(fastest; same per-env trajectories)",
+    )
     args = parser.parse_args()
     config_path = args.config_path or config_mod.select_run()
     if config_path is None:
         print("no run found")
         sys.exit(1)
     main(config_mod.load_config(config_path), args.num_episodes, args.batched,
-         args.max_actions, args.max_seconds)
+         args.max_actions, args.max_seconds, args.fused)

@@ -267,14 +267,17 @@ def compute_action_target(params: EnvParams, state: EnvState, actions):
 
 
 def inject_action(params: EnvParams, state: EnvState, actions, percep=None,
-                  plan_dist_img=None) -> EnvState:
+                  plan_dist_img=None, plan_waypoints=None) -> EnvState:
     """Store a new action for the (single) robot with actions[r] >= 0.
 
     If ``percep`` (a :func:`perception_pass` result computed on the same
     occupancy, with its awaiting robot == the acting robot) is provided, the
     planner reuses its configuration space and snap payload; the fused loop
     additionally passes ``plan_dist_img`` (the target-seeded distance image,
-    computed batched with the Pallas kernel) so no per-env sweep runs here.
+    computed batched with the Pallas kernel) and ``plan_waypoints`` (a
+    ``(waypoints_px (K, 2) f32, num_wp)`` pair from the batched
+    backtrace + MXU string pulling) so neither a sweep nor per-env LOS
+    gathers run here.
     """
     h, w = params.map_shape
     has_action, acting, ch, pi, pj, target_ee = compute_action_target(
@@ -309,10 +312,13 @@ def inject_action(params: EnvParams, state: EnvState, actions, percep=None,
             cspace_thin, jnp.stack([si, sj]).astype(jnp.float32),
             jnp.stack([ti, tj]).astype(jnp.float32), constants.LOS_SAMPLES,
         )
-        wps_px, num_wp_sp, _ = paths.plan_path_pixels(
-            cspace, snap_payload, jnp.stack([si, sj]), jnp.stack([ti, tj]),
-            params.num_pass_pairs, dist_img=plan_dist_img,
-        )
+        if plan_waypoints is not None:
+            wps_px, num_wp_sp = plan_waypoints
+        else:
+            wps_px, num_wp_sp, _ = paths.plan_path_pixels(
+                cspace, snap_payload, jnp.stack([si, sj]), jnp.stack([ti, tj]),
+                params.num_pass_pairs, dist_img=plan_dist_img,
+            )
         # Pixel waypoints -> world; endpoints replaced by the true positions
         # (envs.py:2492-2503).
         wx = ((wps_px[:, 1] + 0.5) - w / 2) / ppm

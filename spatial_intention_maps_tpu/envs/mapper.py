@@ -409,7 +409,7 @@ def build_state(params: EnvParams, state: EnvState, robot_index, sp_recep_img, s
     stacked = jnp.stack(
         [g.astype(jnp.float32) for g in glob_channels], axis=-1
     )
-    local = raster_ops.extract_local_maps(stacked, pos, heading)  # (96, 96, C)
+    local = raster_ops.extract_local_maps_mxu(stacked, pos, heading)  # (96, 96, C)
     if any(subtract_min):
         mins = jnp.min(local, axis=(0, 1), keepdims=True)
         mask = np.asarray(subtract_min)[None, None, :]

@@ -22,6 +22,8 @@ class EvalPolicy:
             self.env_params,
             num_input_channels=cfg.num_input_channels,
             use_predicted_intention=cfg.get("use_predicted_intention", False),
+            layer_planes=cfg.get("fcn_layer_planes"),
+            head_planes=cfg.get("fcn_head_planes"),
         )
         self.key = jax.random.PRNGKey(seed)
         if variables is None:

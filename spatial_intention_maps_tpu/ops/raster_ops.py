@@ -173,6 +173,33 @@ def extract_local_maps(global_maps_hwc, position, heading):
     return global_maps_hwc[gi, gj, :]
 
 
+def extract_local_maps_mxu(global_maps_hwc, position, heading):
+    """:func:`extract_local_maps` with the lookups as one-hot matmuls.
+
+    The same nearest-neighbor cells are read, but instead of a 96*96-descriptor
+    random gather (~14 ns per descriptor on TPU) the lookup rides the MXU:
+    ``rows = onehot(gi) @ G`` then a row-wise one-hot(gj) contraction.
+    One-hot weights are exact in bf16 and the matmul accumulates in f32, so
+    the result equals the gather bit-for-bit for bf16-representable maps and
+    to bf16 rounding otherwise (observations are stored bf16 anyway).
+    """
+    h, w, c = global_maps_hwc.shape
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    wx, wy = local_pixel_world_offsets(heading)
+    px = position[0] + wx
+    py = position[1] + wy
+    gi = jnp.clip(jnp.floor(h / 2 - py * ppm).astype(jnp.int32), 0, h - 1)
+    gj = jnp.clip(jnp.floor(w / 2 + px * ppm).astype(jnp.int32), 0, w - 1)
+    n = gi.shape[0]
+    p = n * n
+    oh_i = (gi.reshape(p)[:, None] == jnp.arange(h)).astype(jnp.bfloat16)
+    rows = oh_i @ global_maps_hwc.astype(jnp.bfloat16).reshape(h, w * c)
+    rows = rows.reshape(p, w, c)
+    oh_j = (gj.reshape(p)[:, None] == jnp.arange(w)).astype(rows.dtype)
+    out = jnp.sum(rows * oh_j[..., None], axis=1)             # (P, C)
+    return out.reshape(n, n, c).astype(jnp.float32)
+
+
 def local_distance_map(global_map, position, heading):
     """_get_local_distance_map (envs.py:2212-2215): crop, then subtract min."""
     local = extract_local_map(global_map, position, heading)

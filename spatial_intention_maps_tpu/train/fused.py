@@ -120,7 +120,25 @@ class FusedLoop:
             obs, robot, group = env_core.observe_standalone(params, s)
             return s, obs, robot, group
 
-        self._reset_batch = jax.jit(jax.vmap(reset_obs_one))
+        # Chunked over envs: the MXU local-map crop materializes a
+        # (chunk, 96*96, W*C) transient, so an unchunked vmap at B=1024+
+        # would exceed HBM (24 GB at B=2048).  Reset is off the hot path;
+        # 128-env chunks keep the transient under 1.5 GB.
+        self._reset_batch = jax.jit(
+            lambda keys: jax.lax.map(reset_obs_one, keys, batch_size=128)
+        )
+
+        # Same bound for the per-round observation stack when the service
+        # capacity is large (bench/eval at B>=2048).
+        obs_chunk = 256
+
+        def observe_batch(states, perceps):
+            f = lambda s, p: env_core.observe(params, s, p)
+            if self.capacity > obs_chunk:
+                return jax.lax.map(
+                    lambda sp: f(*sp), (states, perceps), batch_size=obs_chunk
+                )
+            return jax.vmap(f)(states, perceps)
 
         def round_fn(ls: LoopState, variables, eps, use_gt_intention=False):
             env = ls.env
@@ -159,17 +177,13 @@ class FusedLoop:
             fin = jax.vmap(
                 lambda s, c, p: env_core.step_end_post(params, s, c, p)
             )(fin_pre, ctx, percep)
-            obs_f, robot_f, _ = jax.vmap(
-                lambda s, p: env_core.observe(params, s, p)
-            )(fin, percep)
+            obs_f, robot_f, _ = observe_batch(fin, percep)
 
             # Fresh-env perception + observation only when a reset happened
             # (off the steady-state path).
             def fresh_branch():
                 fp = env_core.perception_pass_batched(params, fresh)
-                fo, fr, _ = jax.vmap(
-                    lambda s, p: env_core.observe(params, s, p)
-                )(fresh, fp)
+                fo, fr, _ = observe_batch(fresh, fp)
                 return fp, fo, fr
 
             def zero_branch():
@@ -203,6 +217,15 @@ class FusedLoop:
                 has_next=arrived,
                 mask=complete,
                 env=jnp.where(row_valid, idx, -1),  # source env per row
+                # Per-row episode stats at the action boundary (pre-reset),
+                # for the fused evaluation driver (evaluate.run_eval_fused):
+                # fin marks rows whose action just completed; done marks rows
+                # whose episode ended at this service.
+                fin=needs_fin,
+                done=done,
+                sim_steps=fin.simulation_steps,
+                cubes=jnp.sum(fin.cum_cubes, axis=1),
+                collisions=jnp.sum(fin.cum_robot_collisions, axis=1),
             )
 
             # Episode metrics from finished episodes.
@@ -241,9 +264,11 @@ class FusedLoop:
             )(merged, actions_rb)
 
             # Target-seeded planning distance images for all served envs in
-            # ONE batched (Pallas) sweep, instead of per-env lax sweeps
-            # inside the vmapped inject.
+            # ONE batched (Pallas) sweep, then batched backtrace + MXU
+            # string pulling — no per-env sweeps or LOS gathers inside the
+            # vmapped inject.
             plan_dist = None
+            plan_wps = None
             if params.use_shortest_path_movement:
                 h_px, w_px = params.map_shape
                 menv = jnp.arange(m)
@@ -261,6 +286,20 @@ class FusedLoop:
                 plan_dist, _ = env_core.wavefront.sweep_batched(
                     dist0, pay0, free_b, params.num_pass_pairs
                 )
+                # Source snap + greedy backtrace (per env), then one batched
+                # MXU string-pull for all M paths (paths.simplify_path_batched).
+                rpos = merged.robot_pos[menv, robot]          # (M, 2)
+                si, sj = env_core.geometry.position_to_pixel(
+                    rpos[:, 0], rpos[:, 1], h_px, w_px
+                )
+                sflat = snap_act[menv, si, sj]
+                src = jnp.stack([sflat // w_px, sflat % w_px], axis=-1)
+                path_b, plen_b = jax.vmap(env_core.paths.backtrace)(
+                    plan_dist, src
+                )
+                plan_wps = env_core.paths.simplify_path_batched(
+                    cs_act, path_b, plen_b
+                )
 
             if plan_dist is None:
                 injected = jax.vmap(
@@ -268,8 +307,11 @@ class FusedLoop:
                 )(merged, actions_rb, percep)
             else:
                 injected = jax.vmap(
-                    lambda s, a, p, pd: env_core.inject_action(params, s, a, p, pd)
-                )(merged, actions_rb, percep, plan_dist)
+                    lambda s, a, p, pd, w_, n_: env_core.inject_action(
+                        params, s, a, p, pd, plan_waypoints=(w_, n_)
+                    )
+                )(merged, actions_rb, percep, plan_dist,
+                  plan_wps[0], plan_wps[1])
 
             # ---- Pending-pair bookkeeping ----
             seed = (jnp.arange(r_n)[None, :] == robot[:, None]) & row_valid[:, None]

@@ -58,3 +58,39 @@ def test_fused_loop_serves_and_tracks(loop):
     # Pending bookkeeping: any env frozen awaiting service has an idle robot.
     idle_any = np.asarray(jnp.any(env.fsm == 0, axis=1))
     assert idle_any.shape == (4,)
+
+
+def test_run_eval_fused_completes_episodes(tmp_path):
+    """The fused eval driver (evaluate.run_eval_fused) rolls per-env
+    episodes to task-rule termination and records monotone
+    (simulation_steps, cubes) streams in the reference's npy schema."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import evaluate as evaluate_mod
+    from spatial_intention_maps_tpu import config as config_mod
+
+    cfg = config_mod.default_config()
+    cfg.experiment_name = "lifting_1-small_empty-test"
+    cfg.robot_config = [{"lifting_robot": 1}]
+    cfg.env_name = "small_empty"
+    cfg.room_length, cfg.room_width = 1.0, 0.5
+    cfg.num_cubes = 2
+    cfg.num_input_channels = 4
+    cfg.inactivity_cutoff_per_robot = 20
+    cfg.fcn_layer_planes = [8, 8, 8, 8]
+    cfg.fcn_head_planes = [8, 8]
+    cfg.policy_path = None
+
+    episodes = evaluate_mod.run_eval_fused(cfg, num_episodes=2,
+                                           max_rounds=12000, max_seconds=600)
+    assert len(episodes) == 2
+    for ep in episodes:
+        assert len(ep) >= 1
+        sims = [r["simulation_steps"] for r in ep]
+        cubes = [r["cubes"] for r in ep]
+        assert sims == sorted(sims)
+        assert cubes == sorted(cubes)
+        assert all(set(r) <= {"simulation_steps", "cubes",
+                              "robot_collisions", "truncated"} for r in ep)

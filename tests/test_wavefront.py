@@ -146,3 +146,47 @@ def test_plan_path_pixels():
     # collision free.
     for k in range(n):
         assert free[int(round(wps[k][0])), int(round(wps[k][1]))]
+
+
+def test_simplify_path_batched_matches_vmapped():
+    """The MXU one-hot LOS string pull must produce EXACTLY the waypoints of
+    the per-env gather implementation (same stride-4 candidates, same greedy
+    scan, boolean cell reads are exact in bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatial_intention_maps_tpu import constants
+    from spatial_intention_maps_tpu.ops import paths, wavefront
+
+    rng = np.random.RandomState(0)
+    m, h, w = 6, 48, 64
+    frees, paths_b, lens = [], [], []
+    for e in range(m):
+        free = np.ones((h, w), bool)
+        # random rectangular obstacles
+        for _ in range(4):
+            i0, j0 = rng.randint(0, h - 10), rng.randint(0, w - 10)
+            free[i0:i0 + rng.randint(2, 8), j0:j0 + rng.randint(2, 8)] = False
+        si, sj = 2, 2
+        ti, tj = h - 3, w - 3
+        free[si, sj] = free[ti, tj] = True
+        dist = wavefront.distance_image(jnp.asarray(free), ti, tj, 3)
+        path, plen = paths.backtrace(dist, jnp.array([si, sj]))
+        frees.append(free)
+        paths_b.append(np.asarray(path))
+        lens.append(int(plen))
+
+    free_b = jnp.asarray(np.stack(frees))
+    path_b = jnp.asarray(np.stack(paths_b))
+    len_b = jnp.asarray(np.array(lens, np.int32))
+
+    wps_b, n_b = paths.simplify_path_batched(free_b, path_b, len_b)
+    for e in range(m):
+        wps_ref, n_ref = paths.simplify_path(free_b[e], path_b[e], len_b[e])
+        assert int(n_b[e]) == int(n_ref), e
+        np.testing.assert_array_equal(
+            np.asarray(wps_b[e][: int(n_ref)]),
+            np.asarray(wps_ref[: int(n_ref)]),
+            err_msg=f"env {e}",
+        )
