@@ -73,11 +73,13 @@ def main():
                     trainer._push(g, trans)
             return ls, m
     else:
+        ps = os.environ.get("BENCH_PALLAS_SUBSTEP")
         loop = FusedLoop(
             params,
             num_envs=num_envs,
             num_channels=params.num_state_channels,
             substeps_per_round=substeps,
+            use_pallas_substep=None if ps is None else bool(int(ps)),
         )
         ls = loop.init(jax.random.PRNGKey(0))
         metric = "env_steps_per_sec"

@@ -175,7 +175,8 @@ def run_eval_fused(cfg, num_episodes=20, max_rounds=40000, max_seconds=2700):
             ls, trans, _m = loop._round(ls, variables, eps, False)
             rec = {
                 k: trans[k]
-                for k in ("env", "fin", "done", "sim_steps", "cubes", "collisions")
+                for k in ("env", "fin", "done", "sim_steps", "cubes",
+                          "cubes_by_robot", "collisions")
             }
             return ls, rec
         return jax.lax.scan(body, ls, None, length=k_rounds)
@@ -196,6 +197,10 @@ def run_eval_fused(cfg, num_episodes=20, max_rounds=40000, max_seconds=2700):
                     dict(
                         simulation_steps=int(recs["sim_steps"][k][row]),
                         cubes=int(recs["cubes"][k][row]),
+                        # extra key beyond the reference record format:
+                        # per-robot credit, so heterogeneous-team evals can
+                        # show every group scoring
+                        cubes_by_robot=recs["cubes_by_robot"][k][row].tolist(),
                         robot_collisions=int(recs["collisions"][k][row]),
                     )
                 )

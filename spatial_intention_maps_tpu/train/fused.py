@@ -37,6 +37,7 @@ from flax import struct
 from .. import constants
 from ..envs import env as env_core
 from ..envs.types import CUBE_AVAILABLE, EnvParams, EnvState, IDLE
+from ..ops import pallas_substep
 from ..policies import action_space_size
 
 N = constants.LOCAL_MAP_PIXEL_WIDTH
@@ -70,11 +71,23 @@ class FusedLoop:
 
     def __init__(self, params: EnvParams, num_envs: int, num_channels: int,
                  substeps_per_round: int = 64, service_capacity: Optional[int] = None,
-                 policy=None):
+                 policy=None, use_pallas_substep: Optional[bool] = None):
         self.params = params
         self.num_envs = num_envs
         self.num_channels = num_channels
         self.substeps = substeps_per_round
+        # Lane-major Pallas kernel for the substep loop (ops/pallas_substep):
+        # auto on TPU when the team is supported and the batch tiles into
+        # 128-lane blocks; the lax.scan path remains the fallback (and the
+        # CPU-mesh test path).
+        self._substep_block = min(pallas_substep._BLOCK_B, num_envs)
+        if use_pallas_substep is None:
+            use_pallas_substep = (
+                jax.default_backend() == "tpu"
+                and pallas_substep.supports(params)
+                and num_envs % self._substep_block == 0
+            )
+        self.use_pallas_substep = use_pallas_substep
         # Expected fraction needing service per round ~ substeps / typical
         # action length (several hundred substeps); 2x slack.  Envs past the
         # capacity just wait a round.  Never exceed num_envs: the round body
@@ -225,6 +238,7 @@ class FusedLoop:
                 done=done,
                 sim_steps=fin.simulation_steps,
                 cubes=jnp.sum(fin.cum_cubes, axis=1),
+                cubes_by_robot=fin.cum_cubes,
                 collisions=jnp.sum(fin.cum_robot_collisions, axis=1),
             )
 
@@ -337,9 +351,14 @@ class FusedLoop:
             )
 
             # ---- Advance simulation ----
-            env2 = jax.vmap(
-                lambda s: env_core.run_substeps(params, s, k_sub, refresh=False)
-            )(new_ls.env)
+            if self.use_pallas_substep:
+                env2 = pallas_substep.run_substeps_pallas(
+                    params, new_ls.env, k_sub, block_b=self._substep_block
+                )
+            else:
+                env2 = jax.vmap(
+                    lambda s: env_core.run_substeps(params, s, k_sub, refresh=False)
+                )(new_ls.env)
             # Mid-action map refresh on the reference's ~200-substep cadence
             # (envs.py:1400-1402), amortized over rounds.
             refresh_every = max(1, 200 // k_sub)

@@ -92,5 +92,8 @@ def test_run_eval_fused_completes_episodes(tmp_path):
         cubes = [r["cubes"] for r in ep]
         assert sims == sorted(sims)
         assert cubes == sorted(cubes)
-        assert all(set(r) <= {"simulation_steps", "cubes",
+        assert all(set(r) <= {"simulation_steps", "cubes", "cubes_by_robot",
                               "robot_collisions", "truncated"} for r in ep)
+        # per-robot credit sums to the episode total (heterogeneous-team
+        # evals use this to show every group scoring)
+        assert all(sum(r["cubes_by_robot"]) == r["cubes"] for r in ep)
