@@ -49,6 +49,7 @@ def main():
         from spatial_intention_maps_tpu.train.fused import FusedTrainer
         from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
 
+        ps = os.environ.get("BENCH_PALLAS_SUBSTEP")
         cfg = ConfigDict(
             batch_size=32, learning_rate=0.01, weight_decay=1e-4,
             grad_norm_clipping=100,
@@ -60,6 +61,7 @@ def main():
             learning_starts_frac=0.0, train_freq=4,
             target_update_freq=1000, num_parallel_envs=num_envs,
             substeps_per_round=substeps, compute_dtype="bfloat16",
+            use_pallas_substep=None if ps is None else bool(int(ps)),
         )
         trainer = FusedTrainer(cfg, params, num_envs=num_envs)
         loop, variables = trainer.loop, trainer._variables()
@@ -91,10 +93,27 @@ def main():
     jax.block_until_ready(ls.env.robot_pos)
 
     # Warmup / compile + let the env mix of action phases reach steady state.
+    # If the Pallas substep kernel fails to lower on this backend, fall back
+    # to the lax.scan path rather than losing the benchmark.
     served_warm = 0
-    for _ in range(3):
-        ls, m = one_round(ls)
-        served_warm += int(m["served"])
+    try:
+        for _ in range(3):
+            ls, m = one_round(ls)
+            served_warm += int(m["served"])
+    except Exception as e:
+        if mode != "random" or not loop.use_pallas_substep:
+            raise
+        print(f"# pallas substep path failed ({type(e).__name__}); "
+              "falling back to scan", file=sys.stderr)
+        loop = FusedLoop(
+            params, num_envs=num_envs,
+            num_channels=params.num_state_channels,
+            substeps_per_round=substeps, use_pallas_substep=False,
+        )
+        ls = loop.init(jax.random.PRNGKey(0))
+        for _ in range(3):
+            ls, m = one_round(ls)
+            served_warm += int(m["served"])
     jax.block_until_ready(ls.env.robot_pos)
 
     served = 0

@@ -373,8 +373,11 @@ def _substep(params: EnvParams, rc, s):
     p2x, p2y = cube_pos[:, 0], cube_pos[:, 1]                 # (C, B)
     rdx = jnp.cos(new_heading)                                # (R, B)
     rdy = jnp.sin(new_heading)
-    relx = p2x[:, None] - new_pos[None, :, 0]                 # (C, R, B)
-    rely = p2y[:, None] - new_pos[None, :, 1]
+    # NB: mixed None+int indexing (new_pos[None, :, 0]) lowers to a >2D
+    # lax.gather, which Mosaic rejects — slice first, then broadcast.
+    npx, npy = new_pos[:, 0], new_pos[:, 1]                   # (R, B)
+    relx = p2x[:, None] - npx[None]                           # (C, R, B)
+    rely = p2y[:, None] - npy[None]
     fwd = relx * rdx[None] + rely * rdy[None]
     lat = relx * (-rdy)[None] + rely * rdx[None]
     front = rc["front"][None]                                 # (1, R, B)
@@ -385,8 +388,9 @@ def _substep(params: EnvParams, rc, s):
     )
     pen_face = jnp.where(in_face, front + CUBE_R - fwd, -jnp.inf)  # (C, R, B)
 
-    dvx = p2x[:, None, None] - axis_pts[None, :, :, 0]        # (C, R, S, B)
-    dvy = p2y[:, None, None] - axis_pts[None, :, :, 1]
+    apx, apy = axis_pts[:, :, 0], axis_pts[:, :, 1]           # (R, S, B)
+    dvx = p2x[:, None, None] - apx[None]                      # (C, R, S, B)
+    dvy = p2y[:, None, None] - apy[None]
     dd = jnp.sqrt(dvx * dvx + dvy * dvy)                      # (C, R, S, B)
     oh_s = _first_min_onehot(dd, axis=2)
     d_axis = jnp.min(dd, axis=2)                              # (C, R, B)

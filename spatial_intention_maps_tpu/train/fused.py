@@ -480,6 +480,7 @@ class FusedTrainer:
             num_channels=cfg.num_input_channels,
             substeps_per_round=cfg.get("substeps_per_round", 64),
             policy=self.policy,
+            use_pallas_substep=cfg.get("use_pallas_substep", None),
         )
 
         groups_arr = jnp.asarray(env_params.robot_groups)

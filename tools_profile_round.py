@@ -6,6 +6,7 @@ service batch M, on the flagship config.  Run on the real TPU.
 Usage: python tools_profile_round.py [B] [M] [substeps]
 """
 
+import os
 import sys
 import time
 
@@ -44,8 +45,10 @@ def main():
         intention_map_encoding="ramp",
     )
     print(f"B={b} M={m} substeps={substeps}", flush=True)
+    ps = os.environ.get("BENCH_PALLAS_SUBSTEP")
     loop = FusedLoop(params, num_envs=b, num_channels=params.num_state_channels,
-                     substeps_per_round=substeps, service_capacity=m)
+                     substeps_per_round=substeps, service_capacity=m,
+                     use_pallas_substep=None if ps is None else bool(int(ps)))
     ls = loop.init(jax.random.PRNGKey(0))
 
     # Mix phases: run some rounds first.
@@ -58,10 +61,16 @@ def main():
     env = ls.env
     sub = jax.tree.map(lambda x: x[:m], env)
 
-    substep_fn = jax.jit(jax.vmap(
-        lambda s: env_core.run_substeps(params, s, substeps, refresh=False)
-    ))
-    timeit(f"substeps x{substeps} (B)", substep_fn, env)
+    if loop.use_pallas_substep:
+        from spatial_intention_maps_tpu.ops import pallas_substep
+        substep_fn = jax.jit(lambda s: pallas_substep.run_substeps_pallas(
+            params, s, substeps, block_b=loop._substep_block))
+        timeit(f"substeps x{substeps} (B, pallas)", substep_fn, env)
+    else:
+        substep_fn = jax.jit(jax.vmap(
+            lambda s: env_core.run_substeps(params, s, substeps, refresh=False)
+        ))
+        timeit(f"substeps x{substeps} (B)", substep_fn, env)
 
     refresh_fn = jax.jit(jax.vmap(
         lambda s: env_core.mid_action_map_refresh(params, s)
