@@ -160,6 +160,36 @@ def _heading_diff(h1, h2):
     return jnp.mod(h2 - h1 + math.pi, 2 * math.pi) - math.pi
 
 
+# Near-minimax even polynomial for atan(t)/t on t in [0, 1] (Chebyshev
+# interpolant of degree 8 in t^2; max f32 error ~1.1e-7 rad, well inside
+# the 1e-5 kernel-vs-scan equivalence tolerance).
+_ATAN_COEFFS = (
+    0.9999999817886541, -0.33333036709275443, 0.19991872028912389,
+    -0.14197797792604977, 0.10618370631313427, -0.07456854814158088,
+    0.04213762345019933, -0.015731249036827034, 0.002766283480395766,
+)
+
+
+def _atan2(y, x):
+    """Branch-free octant-reduced atan2 — Mosaic has no atan/atan2 lowering.
+
+    Matches jnp.arctan2 conventions on the axes: (0, 0) -> 0, (0, x<0) -> pi,
+    (y<0, 0) -> -pi/2.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    u = t * t
+    p = jnp.full_like(t, _ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * u + c
+    r = t * p
+    r = jnp.where(ay > ax, 0.5 * math.pi - r, r)
+    r = jnp.where(x < 0, math.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def _iota(shape, axis):
     """In-kernel integer iota (array constants cannot be captured by a
     pallas_call; broadcasted_iota is a computed primitive)."""
@@ -467,8 +497,13 @@ def _substep(params: EnvParams, rc, s):
         p2x = p2x + jnp.where(filp, tcx / tn * pen_f, 0.0)
         p2y = p2y + jnp.where(filp, tcy / tn * pen_f, 0.0)
 
-    cube_pos = cube_pos.at[:, 0].set(jnp.where(avail, p2x, cube_pos[:, 0]))
-    cube_pos = cube_pos.at[:, 1].set(jnp.where(avail, p2y, cube_pos[:, 1]))
+    # NB: .at[].set always emits lax.scatter, which Mosaic can't lower —
+    # rebuild the axis-1 triple with slices + concatenate instead.
+    npx2 = jnp.where(avail, p2x, cube_pos[:, 0])
+    npy2 = jnp.where(avail, p2y, cube_pos[:, 1])
+    cube_pos = jnp.concatenate(
+        [npx2[:, None], npy2[:, None], cube_pos[:, 2:]], axis=1
+    )
 
     # lifted cubes ride at the hook offset
     if has_lifting:
@@ -663,7 +698,7 @@ def _substep(params: EnvParams, rc, s):
     near_wp = _norm2(dxy, axis=1) < constants.DRIVE_STEP_SIZE
     ms = jnp.sign(_norm2(cur_p - s["target_ee"], axis=1) - rc["msub"])
     ms = jnp.where(ms == 0, 1.0, ms)
-    nh = jnp.arctan2(ms * dxy[:, 1], ms * dxy[:, 0])
+    nh = _atan2(ms * dxy[:, 1], ms * dxy[:, 0])
     dpx = cur_p[:, 0] + ms * constants.DRIVE_STEP_SIZE * jnp.cos(nh)
     dpy = cur_p[:, 1] + ms * constants.DRIVE_STEP_SIZE * jnp.sin(nh)
     drive_pos = jnp.stack([dpx, dpy], axis=1)

@@ -26,6 +26,7 @@ are refreshed identically in both paths.  Envs that are ready but beyond the
 service capacity simply stay frozen one more round.
 """
 
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -82,11 +83,20 @@ class FusedLoop:
         # CPU-mesh test path).
         self._substep_block = min(pallas_substep._BLOCK_B, num_envs)
         if use_pallas_substep is None:
-            use_pallas_substep = (
-                jax.default_backend() == "tpu"
-                and pallas_substep.supports(params)
-                and num_envs % self._substep_block == 0
-            )
+            env_ps = os.environ.get("SIM_TPU_PALLAS_SUBSTEP")
+            if env_ps is not None:
+                # global kill-switch/force: lets any driver (evaluate.py,
+                # tools) rescue a run if Mosaic rejects the kernel on the
+                # installed jaxlib without code edits.
+                use_pallas_substep = bool(int(env_ps)) and pallas_substep.supports(
+                    params
+                ) and num_envs % self._substep_block == 0
+            else:
+                use_pallas_substep = (
+                    jax.default_backend() == "tpu"
+                    and pallas_substep.supports(params)
+                    and num_envs % self._substep_block == 0
+                )
         self.use_pallas_substep = use_pallas_substep
         # Expected fraction needing service per round ~ substeps / typical
         # action length (several hundred substeps); 2x slack.  Envs past the

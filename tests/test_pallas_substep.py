@@ -111,6 +111,36 @@ def test_fused_loop_with_kernel_matches_scan_path():
     assert int(ma["served"]) == int(mb["served"])
 
 
+def test_kernel_jaxpr_is_gather_and_scatter_free():
+    """Mosaic only lowers 2D gathers and no scatters at all; jnp indexing
+    that mixes None with an int index silently emits >2D lax.gather ops and
+    .at[].set always emits lax.scatter (both round-3 TPU compile failures).
+    Guard the whole substep trace against either reappearing."""
+    params = EnvParams.from_robot_config(
+        [{"lifting_robot": 2}, {"pushing_robot": 2}], env_name="large_empty",
+        room_length=1.0, room_width=1.0, num_cubes=6,
+        use_intention_map=True,
+    )
+    b, n_rect, n_corner = 8, 5, 3
+    s = {}
+    for name, code, dt in pallas_substep._MUT + pallas_substep._RO:
+        if name == "rc":
+            continue
+        shp = pallas_substep._suffix_shape(code, params, n_rect, n_corner) + (b,)
+        s[name] = jnp.zeros(shp, dt)
+    rc = {
+        f: jnp.zeros((params.num_robots, b), jnp.float32)
+        for f in pallas_substep._RC_FIELDS
+    }
+    jaxpr = jax.make_jaxpr(
+        lambda s, rc: pallas_substep._substep(params, rc, s)
+    )(s, rc)
+    # string scan catches ops nested inside sub-jaxprs (closed_call etc.)
+    bad = [l for l in str(jaxpr).splitlines()
+           if "= gather[" in l or "= scatter" in l]
+    assert not bad, f"substep trace re-acquired gather/scatter ops: {bad[:3]}"
+
+
 def test_kernel_rejects_throwing():
     params = EnvParams.from_robot_config(
         [{"throwing_robot": 2}], env_name="large_empty",
