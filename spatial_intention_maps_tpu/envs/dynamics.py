@@ -26,6 +26,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants
 from . import geometry
@@ -50,6 +51,62 @@ _REMOVED_POS = jnp.array([0.0, 0.0, -1000.0])
 def heading_diff(h1, h2):
     """restrict_heading_range(h2 - h1) (envs.py:2566-2570)."""
     return jnp.mod(h2 - h1 + math.pi, 2 * math.pi) - math.pi
+
+
+# ---------------------------------------------------------------------------
+# Counter-based throw-noise RNG (reference envs.py:1306-1313 distributions).
+#
+# The reference draws np.random.normal throw forces at throw time.  Here the
+# draw must be computable inside the Pallas substep kernel, where the
+# threefry PRNG behind jax.random cannot run — so throw noise comes from a
+# murmur3-style integer hash of (episode seed, robot index, per-robot throw
+# counter), turned into normals via Box-Muller.  Both engines (the lax.scan
+# path below and ops/pallas_substep) call these same functions, so their
+# trajectories stay bit-identical.
+# ---------------------------------------------------------------------------
+
+# murmur3 finalizer multipliers as wrapped int32 literals
+_MIX_M1 = np.int32(np.uint32(0x85EBCA6B).astype(np.int32))
+_MIX_M2 = np.int32(np.uint32(0xC2B2AE35).astype(np.int32))
+_TWO_PI = 2.0 * math.pi
+
+
+def _mix32(h):
+    """murmur3 fmix32 on int32 (two's-complement wrap == uint32 wrap)."""
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * _MIX_M1
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * _MIX_M2
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
+def _hash_uniform(h):
+    """int32 hash -> float32 uniform in (0, 1) (23 mantissa bits, never 0)."""
+    bits = h & jnp.int32(0x7FFFFF)
+    return (bits.astype(jnp.float32) + 0.5) * jnp.float32(1.0 / (1 << 23))
+
+
+def throw_draws(seed, counter, robot_index):
+    """Throw-force samples (fx, fy) for each robot.
+
+    seed: int32 episode seed (broadcastable); counter: int32 per-robot throw
+    counter; robot_index: int32 per-robot index.  All broadcast together.
+    fx ~ N(THROW_FORCE_X_MEAN, THROW_FORCE_X_STD); fy ~ N(Y_MEAN, Y_STD)
+    with a random sign flip — the reference's throw_cube draw
+    (envs.py:1306-1313).
+    """
+    base = _mix32(_mix32(_mix32(seed) ^ counter) ^ robot_index)
+    u1 = _hash_uniform(_mix32(base ^ jnp.int32(0x1B56C4E9)))
+    u2 = _hash_uniform(_mix32(base ^ jnp.int32(0x2545F491)))
+    u3 = _hash_uniform(_mix32(base ^ jnp.int32(0x68E31DA4)))
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    z0 = rad * jnp.cos(_TWO_PI * u2)
+    z1 = rad * jnp.sin(_TWO_PI * u2)
+    fx = constants.THROW_FORCE_X_MEAN + constants.THROW_FORCE_X_STD * z0
+    fy = constants.THROW_FORCE_Y_MEAN + constants.THROW_FORCE_Y_STD * z1
+    fy = fy * jnp.where(u3 < 0.5, -1.0, 1.0)
+    return fx, fy
 
 
 def _dir(h):
@@ -314,9 +371,17 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
             thrown[:, None], jnp.array([0.0, 0.0, -constants.GRAVITY * dt]), 0.0
         )
         pos3 = cube_pos + jnp.where(thrown[:, None], vel * dt, 0.0)
+        # Landing-surface test: the wall map is rects_mask | corners_mask
+        # rasterized at pixel centers (geometry.rasterize_layout), so
+        # snapping the cube to its pixel center and running the analytic
+        # point test reproduces the raster lookup bit-for-bit — without the
+        # per-substep map gather the Pallas kernel cannot express.
         h, w = params.map_shape
         gi, gj = geometry.position_to_pixel(pos3[:, 0], pos3[:, 1], h, w)
-        on_wall = state.wall_map[gi, gj]
+        cx, cy = geometry.pixel_to_position(gi, gj, h, w)
+        on_wall = geometry.rects_mask(cx, cy, state.rects) | geometry.corners_mask(
+            cx, cy, state.corners
+        )
         rest_z = jnp.where(on_wall, constants.WALL_HEIGHT + CUBE_R, CUBE_R)
         landed = thrown & (pos3[:, 2] <= rest_z) & (vel[:, 2] < 0)
         pos3 = pos3.at[:, 2].set(jnp.where(landed, rest_z, pos3[:, 2]))
@@ -552,16 +617,12 @@ def controller_substep(params: EnvParams, state: EnvState, active) -> EnvState:
         )
 
     if has_throwing:
-        # prepare_throw + throw_cube (envs.py:1306-1329)
+        # prepare_throw + throw_cube (envs.py:1306-1329); noise from the
+        # counter-based hash RNG (kernel-computable, see throw_draws)
         throw = win & tm["throwing"]
-        key, *tkeys = jax.random.split(state.key, 4)
-        fx = constants.THROW_FORCE_X_MEAN + constants.THROW_FORCE_X_STD * jax.random.normal(
-            tkeys[0], (r_n,)
+        fx, fy = throw_draws(
+            state.throw_seed, state.throw_counter, jnp.arange(r_n, dtype=jnp.int32)
         )
-        fy = constants.THROW_FORCE_Y_MEAN + constants.THROW_FORCE_Y_STD * jax.random.normal(
-            tkeys[1], (r_n,)
-        )
-        fy = fy * jnp.where(jax.random.uniform(tkeys[2], (r_n,)) < 0.5, -1.0, 1.0)
         kvel = constants.THROW_IMPULSE_TO_VELOCITY
         ch, sh = jnp.cos(cur_h), jnp.sin(cur_h)
         v = jnp.stack(
@@ -575,7 +636,7 @@ def controller_substep(params: EnvParams, state: EnvState, active) -> EnvState:
             axis=-1,
         )
         state = state.replace(
-            key=jnp.where(jnp.any(throw), key, state.key),
+            throw_counter=state.throw_counter + throw.astype(jnp.int32),
             carried_cube=jnp.where(throw, cand, state.carried_cube),
             cube_status=_scatter_cube(
                 state.cube_status, jnp.maximum(cand, 0), throw,

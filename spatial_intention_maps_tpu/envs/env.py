@@ -153,6 +153,10 @@ def reset(params: EnvParams, key) -> EnvState:
         manip_steps=jnp.zeros(r_n, jnp.int32),
         lifting=jnp.zeros(r_n, bool),
         carried_cube=jnp.full((r_n,), -1, jnp.int32),
+        throw_seed=jax.random.randint(
+            k_state, (), -(2 ** 31), 2 ** 31 - 1, dtype=jnp.int32
+        ),
+        throw_counter=jnp.zeros(r_n, jnp.int32),
         potential_cube=jnp.full((r_n,), -1, jnp.int32),
         blocked_obstacle=jnp.zeros(r_n, bool),
         blocked_robot=jnp.zeros(r_n, bool),

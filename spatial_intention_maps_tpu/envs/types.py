@@ -244,6 +244,10 @@ class EnvState:
     manip_steps: jnp.ndarray         # (R,) int32
     lifting: jnp.ndarray             # (R,) bool (lift_state == 'lifting')
     carried_cube: jnp.ndarray        # (R,) int32, -1 if none
+    # throw-noise RNG state (dynamics.throw_draws): per-episode seed +
+    # per-robot draw counter, hash-based so the Pallas kernel can draw too
+    throw_seed: jnp.ndarray          # int32 scalar
+    throw_counter: jnp.ndarray       # (R,) int32
     potential_cube: jnp.ndarray      # (R,) int32, -1 if none
     blocked_obstacle: jnp.ndarray    # (R,) bool (current contact proxy)
     blocked_robot: jnp.ndarray       # (R,) bool

@@ -12,9 +12,10 @@ field lives in VMEM for all 64 iterations, and the per-op overhead
 disappears into straight-line VPU code.
 
 Semantics: bit-equivalent to ``dynamics.substep`` (physics_substep +
-controller_substep) for teams WITHOUT throwing robots — the ballistic
-integrator needs a per-substep wall-map gather and fresh PRNG draws, which
-stay on the lax.scan path (`supports(params)` gates dispatch).  All
+controller_substep) for every robot team.  Throwing works in-kernel because
+both engines share the gather-free landing test (analytic point-in-layout at
+the cube's pixel center) and the counter-hash throw RNG
+(dynamics.throw_draws) instead of wall-map lookups + threefry.  All
 reference behaviors are cited in dynamics.py; this file only re-lays-out
 that math lane-major, with gathers/scatters/argmins re-expressed as one-hot
 sums (TPU has no fast small-gather; one-hot VPU math is exact).
@@ -35,10 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants
+from ..envs import dynamics
 from ..envs.types import (
     CUBE_AVAILABLE,
     CUBE_LIFTED,
     CUBE_REMOVED,
+    CUBE_THROWN,
     IDLE,
     MANIPULATING,
     MOVING,
@@ -83,6 +86,8 @@ _MUT = [
     ("cube_pos", "C3", jnp.float32),
     ("cube_heading", "C", jnp.float32),
     ("cube_status", "C", jnp.int32),
+    ("cube_vel", "C3", jnp.float32),
+    ("throw_counter", "R", jnp.int32),
     ("simulation_steps", "1", jnp.int32),
 ]
 
@@ -97,6 +102,7 @@ _RO = [
     ("num_wp", "R", jnp.int32),
     ("potential_cube", "R", jnp.int32),
     ("done", "1", jnp.int32),
+    ("throw_seed", "1", jnp.int32),
     ("rc", "PR", jnp.float32),
 ]
 
@@ -105,7 +111,7 @@ _RO = [
 # (NF, R, B) read-only input (broadcast over lanes); each entry unpacks to
 # an (R, B) tensor inside the kernel.
 _RC_FIELDS = [
-    "bmul", "m_lift", "m_rescue", "m_hooks", "front",
+    "bmul", "m_lift", "m_rescue", "m_hooks", "m_throw", "front",
     "lift_off", "drop_off", "msub", "ee",
 ]
 
@@ -120,6 +126,7 @@ def _robot_consts(params: EnvParams):
         "bmul": np.maximum(front - ROBOT_R, constants.ROBOT_BACKPACK_OFFSET),
         "m_lift": np.asarray([n == "lifting_robot" for n in names], np.float32),
         "m_rescue": np.asarray([n == "rescue_robot" for n in names], np.float32),
+        "m_throw": np.asarray([n == "throwing_robot" for n in names], np.float32),
         "m_hooks": hooks.astype(np.float32),
         "front": front,
         "lift_off": ee + constants.LIFTED_CUBE_OFFSET + CUBE_R,
@@ -131,10 +138,13 @@ def _robot_consts(params: EnvParams):
 
 
 def supports(params: EnvParams) -> bool:
-    """Kernel covers every team without throwing robots (the ballistic
-    branch needs wall-map gathers + PRNG; it stays on the scan path)."""
-    names = [constants.ROBOT_TYPES[t] for t in params.robot_types]
-    return "throwing_robot" not in names
+    """Kernel covers every robot team.  Throwing support rides the analytic
+    pixel-center landing test (dynamics.physics_substep section 5) and the
+    counter-based hash RNG (dynamics.throw_draws) — both chosen precisely so
+    the scan path and this kernel compute identical trajectories without a
+    map gather or threefry in the loop."""
+    del params
+    return True
 
 
 def _suffix_shape(code, params, n_rect, n_corner):
@@ -337,9 +347,11 @@ def _substep(params: EnvParams, rc, s):
     names = [constants.ROBOT_TYPES[t] for t in params.robot_types]
     has_lifting = any(n == "lifting_robot" for n in names)
     has_rescue = any(n == "rescue_robot" for n in names)
+    has_throwing = any(n == "throwing_robot" for n in names)
     has_hooks = any(constants.ROBOT_HAS_HOOKS[n] for n in names)
     m_lift = rc["m_lift"] != 0                    # (R, B) bool
     m_rescue = rc["m_rescue"] != 0
+    m_throw = rc["m_throw"] != 0
     m_hooks = rc["m_hooks"] != 0
 
     active = (~jnp.any(s["fsm"] == IDLE, axis=0, keepdims=True)) & (
@@ -521,6 +533,55 @@ def _substep(params: EnvParams, rc, s):
             cube_heading, jnp.maximum(carried, 0), has_carry, new_heading
         )
 
+    # Ballistic integration for thrown cubes (dynamics.physics_substep
+    # section 5, envs.py:1314-1329), with the analytic pixel-center landing
+    # test in place of the wall-map gather (same result bit-for-bit).
+    cube_vel = s["cube_vel"]                                  # (C, 3, B)
+    if has_throwing:
+        thrown = (s["cube_status"] == CUBE_THROWN) & (act1[None] != 0)  # (C, B)
+        dt = constants.SIM_DT
+        vz = cube_vel[:, 2] + jnp.where(thrown, -constants.GRAVITY * dt, 0.0)
+        vel = jnp.concatenate([cube_vel[:, :2], vz[:, None]], axis=1)
+        pos3 = cube_pos + jnp.where(thrown[:, None], vel * dt, 0.0)
+        px3, py3, pz3 = pos3[:, 0], pos3[:, 1], pos3[:, 2]   # (C, B)
+        h, w = params.map_shape
+        ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+        gi = jnp.clip(jnp.floor(h / 2 - py3 * ppm).astype(jnp.int32), 0, h - 1)
+        gj = jnp.clip(jnp.floor(w / 2 + px3 * ppm).astype(jnp.int32), 0, w - 1)
+        ccx = ((gj + 0.5) - w / 2) / ppm                      # pixel centers
+        ccy = (h / 2 - (gi + 0.5)) / ppm
+        on_wall = jnp.zeros(px3.shape, bool)
+        for i in range(s["rects"].shape[0]):                  # rects_mask
+            rcx, rcy, rhw, rhh = (s["rects"][i, k] for k in range(4))  # (B,)
+            on_wall |= (jnp.abs(ccx - rcx[None]) <= rhw[None]) & (
+                jnp.abs(ccy - rcy[None]) <= rhh[None]
+            )
+        wfc = constants.ROUNDED_CORNER_WIDTH                  # corners_mask
+        offc = wfc / math.sqrt(2)
+        for i in range(s["corners"].shape[0]):
+            kx, ky, kh = (s["corners"][i, k] for k in range(3))  # (B,)
+            ax = kx - offc * jnp.cos(kh - math.radians(45))
+            ay = ky - offc * jnp.sin(kh - math.radians(45))
+            cex, cey = 2 * kx - ax, 2 * ky - ay
+            ddx = ccx - ax[None]
+            ddy = ccy - ay[None]
+            chh, shh = jnp.cos(kh)[None], jnp.sin(kh)[None]
+            lx = chh * ddx + shh * ddy
+            ly = -shh * ddx + chh * ddy
+            in_square = (lx >= 0) & (lx <= wfc) & (ly >= -wfc) & (ly <= 0)
+            out_disc = (ccx - cex[None]) ** 2 + (ccy - cey[None]) ** 2 >= wfc ** 2
+            on_wall |= in_square & out_disc
+        rest_z = jnp.where(on_wall, constants.WALL_HEIGHT + CUBE_R, CUBE_R)
+        landed = thrown & (pz3 <= rest_z) & (vel[:, 2] < 0)
+        pz_new = jnp.where(landed, rest_z, pz3)
+        pos3 = jnp.concatenate([pos3[:, :2], pz_new[:, None]], axis=1)
+        vx2 = jnp.where(landed, vel[:, 0] * 0.3, vel[:, 0])
+        vy2 = jnp.where(landed, vel[:, 1] * 0.3, vel[:, 1])
+        vz2 = jnp.where(landed, vel[:, 2] * 0.0, vel[:, 2])
+        vel = jnp.stack([vx2, vy2, vz2], axis=1)
+        cube_pos = jnp.where(thrown[:, None], pos3, cube_pos)
+        cube_vel = jnp.where(thrown[:, None], vel, cube_vel)
+
     simulation_steps = s["simulation_steps"] + jnp.where(active, 1, 0)
 
     s = dict(
@@ -531,6 +592,7 @@ def _substep(params: EnvParams, rc, s):
         blocked_robot=blocked_robot.astype(jnp.int32),
         cube_pos=cube_pos,
         cube_heading=cube_heading,
+        cube_vel=cube_vel,
         simulation_steps=simulation_steps,
     )
 
@@ -585,6 +647,8 @@ def _substep(params: EnvParams, rc, s):
     cube_status = s["cube_status"]
     cube_pos = s["cube_pos"]
     cube_heading = s["cube_heading"]
+    cube_vel = s["cube_vel"]
+    throw_counter = s["throw_counter"]
     cubes = s["cubes"]
     cubes_with_reward = s["cubes_with_reward"]
     pointless_drop = s["pointless_drop"] != 0
@@ -674,6 +738,38 @@ def _substep(params: EnvParams, rc, s):
         cube_heading = _scatter_cube(cube_heading, cand_cl, lift, cur_h)
         pr_initial = jnp.where(lift[:, None], cand_xy, pr_initial)
 
+    if has_throwing:
+        # prepare_throw + throw_cube (dynamics.controller_substep,
+        # envs.py:1306-1329) with the counter-hash noise draws
+        throw = win & m_throw
+        riota = _iota(throw.shape, 0)                         # (R, B)
+        fx, fy = dynamics.throw_draws(s["throw_seed"], throw_counter, riota)
+        kvel = constants.THROW_IMPULSE_TO_VELOCITY
+        chh = jnp.cos(cur_h)                                  # (R, B)
+        shh = jnp.sin(cur_h)
+        vx = ((-fx) * chh - (-fy) * shh) * kvel
+        vy = ((-fx) * shh + (-fy) * chh) * kvel
+        v = jnp.stack([vx, vy, jnp.zeros_like(vx)], axis=1)   # (R, 3, B)
+        bxp = cur_p[:, 0] + constants.ROBOT_BACKPACK_OFFSET * chh
+        byp = cur_p[:, 1] + constants.ROBOT_BACKPACK_OFFSET * shh
+        bzp = jnp.full_like(bxp, constants.ROBOT_HEIGHT + constants.CUBE_WIDTH)
+        back = jnp.stack([bxp, byp, bzp], axis=1)             # (R, 3, B)
+        throw_counter = throw_counter + throw.astype(jnp.int32)
+        carried = jnp.where(throw, cand, carried)
+        cube_status = _scatter_cube(
+            cube_status, cand_cl, throw, jnp.full_like(cand_cl, CUBE_THROWN)
+        )
+        cube_pos = _scatter_cube(cube_pos, cand_cl, throw, back)
+        cube_heading = _scatter_cube(cube_heading, cand_cl, throw, cur_h)
+        cube_vel = _scatter_cube(cube_vel, cand_cl, throw, v)
+        pr_initial = jnp.where(throw[:, None], cand_xy, pr_initial)
+        fsm = jnp.where(throw, MANIPULATING, fsm)
+        manip_target = jnp.where(
+            throw, constants.MANIPULATION_STEPS_THROW, manip_target
+        )
+        manip_steps = jnp.where(throw, 0, manip_steps)
+        carried_cl = jnp.maximum(carried, 0)
+
     if has_rescue:
         rescue = win & m_rescue
         cube_status = _scatter_cube(
@@ -718,6 +814,34 @@ def _substep(params: EnvParams, rc, s):
     fin = man & (msteps >= manip_target)
     manip_steps = jnp.where(fin, 0, msteps)
     manip_target = jnp.where(fin, 0, manip_target)
+
+    if has_throwing:
+        # finish_throw_cube (envs.py:1331-1343): score or re-avail the
+        # landed cube when the manipulation window closes
+        fin_throw = fin & m_throw
+        c2 = jnp.maximum(carried, 0)
+        cube_xy2 = _gather_cube(cube_pos[:, :2], c2)          # (R, 2, B)
+        succ2 = _in_receptacle(params, cube_xy2)              # (R, B)
+        st2 = jnp.where(succ2, CUBE_REMOVED, CUBE_AVAILABLE)
+        cz2 = _gather_cube(cube_pos[:, 2], c2)                # (R, B)
+        lz = jnp.maximum(cz2, CUBE_R)
+        landed_pos = jnp.stack([cube_xy2[:, 0], cube_xy2[:, 1], lz], axis=1)
+        zer2 = jnp.zeros_like(lz)
+        removed2 = jnp.stack([zer2, zer2, jnp.full_like(lz, _REMOVED_Z)], axis=1)
+        pos2 = jnp.where(succ2[:, None], removed2, landed_pos)
+        pr_final = jnp.where(fin_throw[:, None], cube_xy2, pr_final)
+        pr_pending = pr_pending | fin_throw
+        cube_status = _scatter_cube(cube_status, c2, fin_throw, st2)
+        cube_pos = _scatter_cube(cube_pos, c2, fin_throw, pos2)
+        cube_vel = _scatter_cube(
+            cube_vel, c2, fin_throw, jnp.zeros_like(landed_pos)
+        )
+        cubes = cubes + (fin_throw & succ2).astype(jnp.int32)
+        cubes_with_reward = cubes_with_reward + (fin_throw & succ2).astype(
+            jnp.int32
+        )
+        carried = jnp.where(fin_throw, -1, carried)
+
     fsm = jnp.where(fin, IDLE, fsm)
 
     return dict(
@@ -748,6 +872,8 @@ def _substep(params: EnvParams, rc, s):
         cube_pos=cube_pos,
         cube_heading=cube_heading,
         cube_status=cube_status,
+        cube_vel=cube_vel,
+        throw_counter=throw_counter,
     )
 
 
@@ -890,6 +1016,8 @@ def run_substeps_pallas(params: EnvParams, state, n_substeps: int,
             x = state.simulation_steps[:, None]
         elif name == "done":
             x = state.done[:, None]
+        elif name == "throw_seed":
+            x = state.throw_seed[:, None]
         elif name == "rc":
             t = jnp.asarray(_robot_consts(params))
             return jnp.broadcast_to(t[..., None], t.shape + (b,))

@@ -57,6 +57,8 @@ def _assert_states_match(params, ref, out):
         ([{"pushing_robot": 2}], "small_empty", (1.0, 0.5)),
         ([{"rescue_robot": 2}], "small_empty", (1.0, 0.5)),
         ([{"lifting_robot": 2}, {"pushing_robot": 2}], "large_empty", (1.0, 1.0)),
+        ([{"lifting_robot": 2}, {"throwing_robot": 2}], "large_empty", (1.0, 1.0)),
+        ([{"throwing_robot": 2}], "small_empty", (1.0, 0.5)),
     ],
 )
 def test_kernel_matches_scan(robot_config, env_name, room):
@@ -141,9 +143,37 @@ def test_kernel_jaxpr_is_gather_and_scatter_free():
     assert not bad, f"substep trace re-acquired gather/scatter ops: {bad[:3]}"
 
 
-def test_kernel_rejects_throwing():
+def test_kernel_supports_every_team():
+    """Throwing support landed with the counter-hash RNG + analytic landing
+    test; supports() must now accept every team so the TPU auto-dispatch
+    engages the kernel for heterogeneous throwing configs too."""
     params = EnvParams.from_robot_config(
         [{"throwing_robot": 2}], env_name="large_empty",
         room_length=1.0, room_width=1.0, num_cubes=4,
     )
-    assert not pallas_substep.supports(params)
+    assert pallas_substep.supports(params)
+
+
+def test_throw_draws_distribution():
+    """The hash RNG's normals must actually be N(mean, std) (the reference's
+    np.random draw, envs.py:1306-1313) — moments over many counters."""
+    from spatial_intention_maps_tpu import constants
+    from spatial_intention_maps_tpu.envs import dynamics
+
+    n = 4096
+    fx, fy = dynamics.throw_draws(
+        jnp.int32(12345),
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.zeros(n, jnp.int32),
+    )
+    fx, fy = np.asarray(fx), np.asarray(fy)
+    assert abs(fx.mean() - constants.THROW_FORCE_X_MEAN) < 0.05
+    assert abs(fx.std() - constants.THROW_FORCE_X_STD) < 0.05
+    # fy is sign-flipped with p=0.5: |fy| has the folded stats, mean ~ 0
+    assert abs(fy.mean()) < 0.1
+    assert abs(np.abs(fy).mean() - constants.THROW_FORCE_Y_MEAN) < 0.1
+    # draws differ across robots at the same counter
+    fx2, _ = dynamics.throw_draws(
+        jnp.int32(12345), jnp.arange(n, dtype=jnp.int32), jnp.ones(n, jnp.int32)
+    )
+    assert not np.allclose(fx, np.asarray(fx2))
