@@ -49,3 +49,34 @@ def test_generated_tree_scaling_rules():
     assert het.discount_factors == [0.85, 0.85]
     assert het.train_freq == 4
     assert het.total_timesteps == 4 * 40000
+
+
+def test_select_run_noninteractive_falls_back_to_most_recent(tmp_path):
+    """select_run (reference utils.py:61-90): without a TTY it must return
+    the most recent run's config.yml, never prompt."""
+    from spatial_intention_maps_tpu import config as config_mod
+
+    for name in ["20260101T000000-a", "20260102T000000-b", "20260103T000000-c"]:
+        (tmp_path / name).mkdir()
+    # run names sort lexicographically = chronologically
+    out = config_mod.select_run(logs_dir=tmp_path)
+    assert out == tmp_path / "20260103T000000-c" / "config.yml"
+    assert config_mod.select_run(logs_dir=tmp_path / "missing") is None
+
+
+def test_select_run_interactive_picks_by_index(tmp_path, monkeypatch):
+    """On a TTY the picker lists newest-first and returns the chosen run
+    (index 1 = second newest); empty input defaults to the newest."""
+    import sys
+    from spatial_intention_maps_tpu import config as config_mod
+
+    for name in ["20260101T000000-a", "20260102T000000-b", "20260103T000000-c"]:
+        (tmp_path / name).mkdir()
+    monkeypatch.setattr(sys.stdin, "isatty", lambda: True)
+    monkeypatch.setattr(sys.stdout, "isatty", lambda: True)
+    monkeypatch.setattr("builtins.input", lambda prompt="": "1")
+    out = config_mod.select_run(logs_dir=tmp_path)
+    assert out == tmp_path / "20260102T000000-b" / "config.yml"
+    monkeypatch.setattr("builtins.input", lambda prompt="": "")
+    out = config_mod.select_run(logs_dir=tmp_path)
+    assert out == tmp_path / "20260103T000000-c" / "config.yml"

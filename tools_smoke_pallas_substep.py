@@ -21,11 +21,21 @@ from spatial_intention_maps_tpu.train.fused import FusedLoop
 
 def main():
     b = int(os.environ.get("SMOKE_NUM_ENVS", "128"))
-    params = EnvParams.from_robot_config(
-        [{"lifting_robot": 4}], env_name="small_divider",
-        room_length=1.0, room_width=0.5, num_cubes=10,
-        use_intention_map=True, intention_map_encoding="ramp",
-    )
+    if os.environ.get("SMOKE_TEAM") == "throwing":
+        # exercises the ballistic/throw kernel branches (counter-hash RNG,
+        # analytic landing test) on real Mosaic
+        params = EnvParams.from_robot_config(
+            [{"lifting_robot": 2}, {"throwing_robot": 2}],
+            env_name="large_empty",
+            room_length=1.0, room_width=1.0, num_cubes=10,
+            use_intention_map=True, intention_map_encoding="ramp",
+        )
+    else:
+        params = EnvParams.from_robot_config(
+            [{"lifting_robot": 4}], env_name="small_divider",
+            room_length=1.0, room_width=0.5, num_cubes=10,
+            use_intention_map=True, intention_map_encoding="ramp",
+        )
     loop = FusedLoop(
         params, num_envs=b, num_channels=params.num_state_channels,
         substeps_per_round=64, service_capacity=min(b, 64),
