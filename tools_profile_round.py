@@ -91,12 +91,60 @@ def main():
     obs_fn = jax.jit(jax.vmap(lambda s, p: env_core.observe(params, s, p)))
     timeit("observe (M)", obs_fn, fin, percep)
 
+    # observe sub-phase: the egocentric MXU crop alone (synthetic stacks of
+    # the same shape), to split channel assembly vs crop cost
+    from spatial_intention_maps_tpu.ops import raster_ops
+    h_px, w_px = params.map_shape
+    n_glob = params.num_state_channels
+    stacks = jnp.ones((m, h_px, w_px, n_glob), jnp.float32)
+    pos_m = fin.robot_pos[:, 0]
+    head_m = fin.robot_heading[:, 0]
+    crop_fn = jax.jit(jax.vmap(raster_ops.extract_local_maps_mxu))
+    timeit("  observe: crop (M)", crop_fn, stacks, pos_m, head_m)
+
+    # The planner exactly as the fused round runs it (fused.py:283-326):
+    # batched target-seeded Pallas sweep + backtrace + MXU string pulling,
+    # then inject with the plan supplied.  (Timing inject WITHOUT the plan
+    # measures the standalone per-env planner the round never executes.)
     actions = jnp.zeros((m, params.num_robots), jnp.int32) - 1
     actions = actions.at[:, 0].set(jnp.arange(m) % 9216)
+
+    def plan(sub, actions, percep):
+        _, _, _, _, _, tee = jax.vmap(
+            lambda s, a: env_core.compute_action_target(params, s, a)
+        )(sub, actions)
+        menv = jnp.arange(m)
+        robot = jnp.argmax(sub.awaiting, axis=1)
+        cs_act = percep["cspaces"][menv, robot]
+        snap_act = percep["snaps"][menv, robot]
+        ti, tj = env_core.geometry.position_to_pixel(tee[:, 0], tee[:, 1], h_px, w_px)
+        flat = snap_act[menv, ti, tj]
+        ti, tj = flat // w_px, flat % w_px
+        free_b = cs_act.at[menv, ti, tj].set(True)
+        dist0 = jnp.full((m, h_px, w_px), 1e9, jnp.float32)
+        dist0 = dist0.at[menv, ti, tj].set(0.0)
+        pay0 = jnp.zeros((m, h_px, w_px), jnp.int32)
+        plan_dist, _ = env_core.wavefront.sweep_batched(
+            dist0, pay0, free_b, params.num_pass_pairs
+        )
+        rpos = sub.robot_pos[menv, robot]
+        si, sj = env_core.geometry.position_to_pixel(rpos[:, 0], rpos[:, 1], h_px, w_px)
+        sflat = snap_act[menv, si, sj]
+        src = jnp.stack([sflat // w_px, sflat % w_px], axis=-1)
+        path_b, plen_b = jax.vmap(env_core.paths.backtrace)(plan_dist, src)
+        plan_wps = env_core.paths.simplify_path_batched(cs_act, path_b, plen_b)
+        return plan_dist, plan_wps
+
+    plan_fn = jax.jit(plan)
+    (plan_dist, plan_wps), _ = timeit("plan sweep+trace (M)", plan_fn, fin, actions, percep)
+
     inj_fn = jax.jit(jax.vmap(
-        lambda s, a, p: env_core.inject_action(params, s, a, p)
+        lambda s, a, p, pd, w_, n_: env_core.inject_action(
+            params, s, a, p, pd, plan_waypoints=(w_, n_)
+        )
     ))
-    timeit("inject incl. sweep (M)", inj_fn, fin, actions, percep)
+    timeit("inject w/ plan (M)", inj_fn, fin, actions, percep,
+           plan_dist, plan_wps[0], plan_wps[1])
 
     print(f"round total {total_ms:.2f} ms", flush=True)
 
