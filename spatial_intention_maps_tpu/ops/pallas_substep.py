@@ -206,6 +206,35 @@ def _iota(shape, axis):
     return jax.lax.broadcasted_iota(jnp.int32, shape, axis)
 
 
+# Mosaic cannot relayout 1-bit vectors: any i1 broadcast across sublanes,
+# i1 shape_cast, or i1 reduction legalizes through an i8 widen +
+# ``arith.trunci i8 -> i1`` that the backend rejects ("Unsupported target
+# bitwidth for truncation").  The helpers below route every mask
+# broadcast/expand/reduce through int32, converting back to bool only with
+# a full-shape ``!= 0`` compare (cmpi is always legal).
+
+def _bx(m, axis, shape):
+    """expand_dims(m, axis) broadcast to ``shape``, relayout done in int32."""
+    mi = m.astype(jnp.int32)
+    if axis is not None:
+        mi = jnp.expand_dims(mi, axis)
+    return jnp.broadcast_to(mi, shape) != 0
+
+
+def _wherex(m, axis, a, b):
+    """jnp.where(expand_dims(m, axis), a, b) with the mask broadcast in i32."""
+    mi = m.astype(jnp.int32)
+    if axis is not None:
+        mi = jnp.expand_dims(mi, axis)
+    shape = jnp.broadcast_shapes(mi.shape, jnp.shape(a), jnp.shape(b))
+    return jnp.where(jnp.broadcast_to(mi, shape) != 0, a, b)
+
+
+def _anyx(m, axis, keepdims=False):
+    """jnp.any for bool vectors without an i1 reduction."""
+    return jnp.max(m.astype(jnp.int32), axis=axis, keepdims=keepdims) != 0
+
+
 def _first_min_onehot(d, axis):
     """One-hot of the FIRST minimum along ``axis`` (argmin semantics).
 
@@ -295,37 +324,40 @@ def _gather_cube(arr_cb, idx_rb):
     """arr (C, ..., B) gathered at per-robot cube index (R, B) -> (R, ..., B).
 
     Out-of-range (negative) indices must be pre-clamped by the caller.
+    The one-hot is laid out (R, C, ..., B) so the contraction reduces a
+    MIDDLE dim — Mosaic cannot lower reductions over the leading dim of >2D
+    vectors ("unsupported output implicit dimension").
     """
     c = arr_cb.shape[0]
-    oh = _onehot_index(idx_rb, c)          # (C, R, B) bool
-    ohf = oh.astype(arr_cb.dtype)
+    iota = _iota((idx_rb.shape[0], c) + idx_rb.shape[1:], 1)  # (R, C, B)
+    oh = (idx_rb[:, None] == iota).astype(arr_cb.dtype)
     extra = arr_cb.ndim - 2                      # middle dims of arr
-    ohx = ohf.reshape(ohf.shape[:2] + (1,) * extra + ohf.shape[2:])
-    return jnp.sum(ohx * arr_cb[:, None], axis=0)
+    ohx = oh.reshape(oh.shape[:2] + (1,) * extra + oh.shape[2:])
+    return jnp.sum(ohx * arr_cb[None], axis=1)
 
 
 def _scatter_cube(arr_cb, idx_rb, mask_rb, val_rb):
     """dynamics._scatter_cube lane-major: write val[r] into arr[idx[r]] where
     mask[r] (indices are disjoint across robots by construction)."""
     c = arr_cb.shape[0]
-    oh = _onehot_index(idx_rb, c) & (mask_rb[None] != 0)  # (C, R, B)
+    ohi = _onehot_index(idx_rb, c).astype(jnp.int32) * (
+        mask_rb.astype(jnp.int32)[None]
+    )  # (C, R, B) int32
     extra = arr_cb.ndim - 2
-    ohx = oh.reshape(oh.shape[:2] + (1,) * extra + oh.shape[2:])
-    sel = jnp.any(ohx, axis=1)
-    upd = jnp.sum(
-        ohx.astype(arr_cb.dtype) * val_rb[None], axis=1
-    )
-    return jnp.where(sel, upd, arr_cb)
+    ohx = ohi.reshape(ohi.shape[:2] + (1,) * extra + ohi.shape[2:])
+    sel = jnp.max(ohx, axis=1)  # (C, 1*, B) int32
+    upd = jnp.sum(ohx.astype(arr_cb.dtype) * val_rb[None], axis=1)
+    return jnp.where(jnp.broadcast_to(sel, arr_cb.shape) != 0, upd, arr_cb)
 
 
 def _wp_at(wps_rkb, idx_rb):
     """waypoints (R, K, ..., B) at per-robot index (R, B) -> (R, ..., B)."""
     k = wps_rkb.shape[1]
     iota = _iota((wps_rkb.shape[0], k) + idx_rb.shape[1:], 1)
-    oh = (idx_rb[:, None] == iota)
+    oh = (idx_rb[:, None] == iota).astype(wps_rkb.dtype)
     extra = wps_rkb.ndim - 3
     ohx = oh.reshape(oh.shape[:2] + (1,) * extra + oh.shape[2:])
-    return jnp.sum(ohx.astype(wps_rkb.dtype) * wps_rkb, axis=1)
+    return jnp.sum(ohx * wps_rkb, axis=1)
 
 
 def _in_receptacle(params, xy_r2b):
@@ -354,17 +386,19 @@ def _substep(params: EnvParams, rc, s):
     m_throw = rc["m_throw"] != 0
     m_hooks = rc["m_hooks"] != 0
 
-    active = (~jnp.any(s["fsm"] == IDLE, axis=0, keepdims=True)) & (
+    b = s["fsm"].shape[-1]
+    active = (~_anyx(s["fsm"] == IDLE, axis=0, keepdims=True)) & (
         s["done"] == 0
     )  # (1, B)
-    act1 = active[0]  # (B,)
+    act_r = _bx(active, None, (r_n, b))                       # (R, B)
+    act_c = _bx(active, None, (c_n, b))                       # (C, B)
 
     # ================= physics_substep =================
     delta = s["target_pos"] - s["robot_pos"]                  # (R, 2, B)
     dist = _norm2(delta, axis=1)[:, None]                     # (R, 1, B)
     step = jnp.minimum(dist, constants.DRIVE_SPEED_PER_SIM_STEP)
-    new_pos = s["robot_pos"] + jnp.where(
-        dist > 1e-9, delta / jnp.maximum(dist, 1e-9) * step, 0.0
+    new_pos = s["robot_pos"] + _wherex(
+        dist > 1e-9, None, delta / jnp.maximum(dist, 1e-9) * step, 0.0
     )
     hd = _heading_diff(s["robot_heading"], s["target_heading"])
     turn = jnp.clip(
@@ -376,9 +410,9 @@ def _substep(params: EnvParams, rc, s):
     px, py = pts[:, :, 0], pts[:, :, 1]                       # (R, S, B)
     wall_hit = jnp.zeros(px.shape[:1] + px.shape[2:], bool)   # (R, B)
     for sd in _aabb_sd(px, py, s["rects"]):
-        wall_hit |= jnp.any(sd <= ROBOT_R, axis=1)
+        wall_hit |= _anyx(sd <= ROBOT_R, axis=1)
     for sd in _fillet_sd(px, py, s["corners"]):
-        wall_hit |= jnp.any(sd <= ROBOT_R, axis=1)
+        wall_hit |= _anyx(sd <= ROBOT_R, axis=1)
 
     # robot-robot capsule overlap (R, R, S, S, B)
     dvec_rr = pts[:, None, :, None] - pts[None, :, None, :]
@@ -388,23 +422,27 @@ def _substep(params: EnvParams, rc, s):
     has_carry0 = carried >= 0                                 # (R, B)
     cube_p = _gather_cube(s["cube_pos"][:, :2], jnp.maximum(carried, 0))
     dc = _norm2(pts[:, None] - cube_p[None, :, None], axis=3)  # (R, R, S, B)
-    rr_hits |= (has_carry0[None] != 0) & (
+    rr_hits |= _bx(has_carry0, 0, rr_hits.shape) & (
         jnp.min(dc, axis=2) <= ROBOT_R + CUBE_R
     )
-    eye = _iota((r_n, r_n, 1), 0) == _iota((r_n, r_n, 1), 1)
+    eye = _iota(rr_hits.shape, 0) == _iota(rr_hits.shape, 1)
     rr_hits &= ~eye
-    robot_hit = jnp.any(rr_hits, axis=1)                      # (R, B)
+    robot_hit = _anyx(rr_hits, axis=1)                        # (R, B)
 
     blocked = wall_hit | robot_hit
-    moving_mask = (s["fsm"] == MOVING) & (act1[None] != 0)    # (R, B) bool
-    new_pos = jnp.where(
-        (blocked | ~moving_mask)[:, None], s["robot_pos"], new_pos
+    moving_mask = (s["fsm"] == MOVING) & act_r                # (R, B) bool
+    new_pos = _wherex(
+        blocked | ~moving_mask, 1, s["robot_pos"], new_pos
     )
     new_heading = jnp.where(moving_mask, new_heading, s["robot_heading"])
     blocked_obstacle = wall_hit & moving_mask
-    blocked_robot = (robot_hit & moving_mask) | jnp.any(
-        rr_hits & moving_mask[:, None], axis=0
-    )
+    # "hit by a moving robot": OR over the leading (i) axis, unrolled —
+    # Mosaic cannot reduce the leading dim of a >2D vector
+    rr_mov = rr_hits & _bx(moving_mask, 1, rr_hits.shape)     # [i, j, B]
+    hit_by_moving = jnp.zeros_like(robot_hit)
+    for i in range(r_n):
+        hit_by_moving = hit_by_moving | rr_mov[i]
+    blocked_robot = (robot_hit & moving_mask) | hit_by_moving
 
     # ---- Cube dynamics ----
     cube_pos = s["cube_pos"]
@@ -448,49 +486,57 @@ def _substep(params: EnvParams, rc, s):
     pen = jnp.sum(oh_r * pen_cr, axis=1)                      # (C, B)
     push_x = jnp.sum(oh_r * dir_x, axis=1)
     push_y = jnp.sum(oh_r * dir_y, axis=1)
-    do_push = (pen > 0) & avail & (act1[None] != 0)
+    do_push = (pen > 0) & avail & act_c
     p2x = p2x + jnp.where(do_push, push_x * pen, 0.0)
     p2y = p2y + jnp.where(do_push, push_y * pen, 0.0)
 
-    # cube-cube separation
+    # cube-cube separation (pair mask built in f32 — i1 cannot broadcast)
     diffx = p2x[:, None] - p2x[None]                          # (C, C, B)
     diffy = p2y[:, None] - p2y[None]
     dcc = jnp.sqrt(diffx * diffx + diffy * diffy)
-    eye_c = _iota((c_n, c_n, 1), 0) == _iota((c_n, c_n, 1), 1)
-    pair_ok = avail[:, None] & avail[None] & ~eye_c
+    availf = avail.astype(jnp.float32)
+    eye_cf = (
+        _iota((c_n, c_n, dcc.shape[-1]), 0)
+        == _iota((c_n, c_n, dcc.shape[-1]), 1)
+    ).astype(jnp.float32)
+    pair_ok = availf[:, None] * availf[None] * (1.0 - eye_cf)
     pen_cc = jnp.maximum(2 * CUBE_R * 0.9 - dcc, 0.0) * pair_ok
     inv_cc = 1.0 / jnp.maximum(dcc, 1e-9)
-    gain = jnp.where(act1[None] != 0, 0.5, 0.0)               # (1, B)
+    gain = jnp.where(active, 0.5, 0.0)                        # (1, B)
     p2x = p2x + gain * jnp.sum(pen_cc * diffx * inv_cc, axis=1)
     p2y = p2y + gain * jnp.sum(pen_cc * diffy * inv_cc, axis=1)
 
-    # project cubes out of walls (dominant-axis AABB gradient)
+    # project cubes out of walls (dominant-axis AABB gradient).  The
+    # nearest-rect argmin is unrolled over the handful of rects — a stacked
+    # (N, C, B) one-hot contraction would reduce the leading dim, which
+    # Mosaic cannot lower.
     sd_list = _aabb_sd(p2x, p2y, s["rects"])                  # list (C, B)
-    sd_stack = jnp.stack(sd_list, axis=0)                     # (N, C, B)
-    oh_w = _first_min_onehot(sd_stack, axis=0)
-    sd_min = jnp.min(sd_stack, axis=0)
+    sd_min = sd_list[0]
+    rcx = jnp.broadcast_to(s["rects"][0, 0], sd_min.shape)    # (C, B)
+    rcy = jnp.broadcast_to(s["rects"][0, 1], sd_min.shape)
+    rhw = jnp.broadcast_to(s["rects"][0, 2], sd_min.shape)
+    rhh = jnp.broadcast_to(s["rects"][0, 3], sd_min.shape)
+    for i, sd in enumerate(sd_list[1:], 1):
+        better = sd < sd_min                                  # first-min ties
+        sd_min = jnp.where(better, sd, sd_min)
+        rcx = jnp.where(better, s["rects"][i, 0], rcx)
+        rcy = jnp.where(better, s["rects"][i, 1], rcy)
+        rhw = jnp.where(better, s["rects"][i, 2], rhw)
+        rhh = jnp.where(better, s["rects"][i, 3], rhh)
     pen_w = jnp.maximum(CUBE_R - sd_min, 0.0)
-    # nearest rect's params via the same one-hot
-    rcx = jnp.sum(oh_w * s["rects"][:, 0][:, None], axis=0)   # (C, B)
-    rcy = jnp.sum(oh_w * s["rects"][:, 1][:, None], axis=0)
-    rhw = jnp.sum(oh_w * s["rects"][:, 2][:, None], axis=0)
-    rhh = jnp.sum(oh_w * s["rects"][:, 3][:, None], axis=0)
     ddx = p2x - rcx
     ddy = p2y - rcy
     ox = jnp.abs(ddx) - rhw
     oy = jnp.abs(ddy) - rhh
     gx = jnp.where(ox >= oy, jnp.sign(ddx), 0.0)
     gy = jnp.where(oy > ox, jnp.sign(ddy), 0.0)
-    wallp = avail & (act1[None] != 0) & (pen_w > 0)
+    wallp = avail & act_c & (pen_w > 0)
     p2x = p2x + jnp.where(wallp, gx * pen_w, 0.0)
     p2y = p2y + jnp.where(wallp, gy * pen_w, 0.0)
 
     # fillets: push toward the arc center
     if s["corners"].shape[0] > 0:
         sdf_list = _fillet_sd(p2x, p2y, s["corners"])
-        sdf = jnp.stack(sdf_list, axis=0)                     # (F, C, B)
-        oh_f = _first_min_onehot(sdf, axis=0)
-        pen_f = jnp.maximum(CUBE_R - jnp.min(sdf, axis=0), 0.0)
         w = constants.ROUNDED_CORNER_WIDTH
         off = w / math.sqrt(2)
         ccx = s["corners"][:, 0]                              # (F, B)
@@ -500,12 +546,20 @@ def _substep(params: EnvParams, rc, s):
         ayp = ccy - off * jnp.sin(chh - math.radians(45))
         cex = 2 * ccx - axp                                   # (F, B)
         cey = 2 * ccy - ayp
-        ncx = jnp.sum(oh_f * cex[:, None], axis=0)            # (C, B)
-        ncy = jnp.sum(oh_f * cey[:, None], axis=0)
+        # nearest-fillet argmin unrolled (same Mosaic leading-dim rule)
+        sdf_min = sdf_list[0]
+        ncx = jnp.broadcast_to(cex[0], sdf_min.shape)         # (C, B)
+        ncy = jnp.broadcast_to(cey[0], sdf_min.shape)
+        for i, sdf in enumerate(sdf_list[1:], 1):
+            better = sdf < sdf_min
+            sdf_min = jnp.where(better, sdf, sdf_min)
+            ncx = jnp.where(better, cex[i], ncx)
+            ncy = jnp.where(better, cey[i], ncy)
+        pen_f = jnp.maximum(CUBE_R - sdf_min, 0.0)
         tcx = ncx - p2x
         tcy = ncy - p2y
         tn = jnp.maximum(jnp.sqrt(tcx * tcx + tcy * tcy), 1e-9)
-        filp = avail & (act1[None] != 0) & (pen_f > 0)
+        filp = avail & act_c & (pen_f > 0)
         p2x = p2x + jnp.where(filp, tcx / tn * pen_f, 0.0)
         p2y = p2y + jnp.where(filp, tcy / tn * pen_f, 0.0)
 
@@ -521,7 +575,7 @@ def _substep(params: EnvParams, rc, s):
     if has_lifting:
         carried_st = _gather_cube(s["cube_status"], jnp.maximum(carried, 0))
         has_carry = (
-            (carried >= 0) & (act1[None] != 0) & (carried_st == CUBE_LIFTED)
+            (carried >= 0) & act_r & (carried_st == CUBE_LIFTED)
         )
         offset = rc["lift_off"]
         cpx = new_pos[:, 0] + offset * rdx                    # (R, B)
@@ -538,11 +592,11 @@ def _substep(params: EnvParams, rc, s):
     # test in place of the wall-map gather (same result bit-for-bit).
     cube_vel = s["cube_vel"]                                  # (C, 3, B)
     if has_throwing:
-        thrown = (s["cube_status"] == CUBE_THROWN) & (act1[None] != 0)  # (C, B)
+        thrown = (s["cube_status"] == CUBE_THROWN) & act_c  # (C, B)
         dt = constants.SIM_DT
         vz = cube_vel[:, 2] + jnp.where(thrown, -constants.GRAVITY * dt, 0.0)
         vel = jnp.concatenate([cube_vel[:, :2], vz[:, None]], axis=1)
-        pos3 = cube_pos + jnp.where(thrown[:, None], vel * dt, 0.0)
+        pos3 = cube_pos + _wherex(thrown, 1, vel * dt, 0.0)
         px3, py3, pz3 = pos3[:, 0], pos3[:, 1], pos3[:, 2]   # (C, B)
         h, w = params.map_shape
         ppm = constants.LOCAL_MAP_PIXELS_PER_METER
@@ -579,8 +633,8 @@ def _substep(params: EnvParams, rc, s):
         vy2 = jnp.where(landed, vel[:, 1] * 0.3, vel[:, 1])
         vz2 = jnp.where(landed, vel[:, 2] * 0.0, vel[:, 2])
         vel = jnp.stack([vx2, vy2, vz2], axis=1)
-        cube_pos = jnp.where(thrown[:, None], pos3, cube_pos)
-        cube_vel = jnp.where(thrown[:, None], vel, cube_vel)
+        cube_pos = _wherex(thrown, 1, pos3, cube_pos)
+        cube_vel = _wherex(thrown, 1, vel, cube_vel)
 
     simulation_steps = s["simulation_steps"] + jnp.where(active, 1, 0)
 
@@ -597,7 +651,7 @@ def _substep(params: EnvParams, rc, s):
     )
 
     # ================= controller_substep =================
-    act = (act1[None] != 0) & (s["fsm"] != IDLE)              # (R, B)
+    act = act_r & (s["fsm"] != IDLE)                          # (R, B)
     ctrl_sim_steps = s["ctrl_sim_steps"] + act.astype(jnp.int32)
 
     mov = act & (s["fsm"] == MOVING)
@@ -633,7 +687,7 @@ def _substep(params: EnvParams, rc, s):
     upd = go_idle | reached
     leg = _norm2(cur_p - s["prev_wp_pos"], axis=1)
     step_distance = s["step_distance"] + jnp.where(upd, leg, 0.0)
-    prev_wp_pos = jnp.where(upd[:, None], cur_p, s["prev_wp_pos"])
+    prev_wp_pos = _wherex(upd, 1, cur_p, s["prev_wp_pos"])
     fsm = jnp.where(go_idle, IDLE, s["fsm"])
 
     last_wp = s["wp_index"] == s["num_wp"] - 1
@@ -664,7 +718,7 @@ def _substep(params: EnvParams, rc, s):
         carried_xy = _gather_cube(cube_pos[:, :2], carried_cl)  # (R, 2, B)
 
         close_pr = drop | keep
-        pr_final = jnp.where(close_pr[:, None], carried_xy, pr_final)
+        pr_final = _wherex(close_pr, 1, carried_xy, pr_final)
         pr_pending = pr_pending | close_pr
 
         drop_offset = rc["drop_off"]
@@ -678,14 +732,14 @@ def _substep(params: EnvParams, rc, s):
             [jnp.zeros_like(dxp), jnp.zeros_like(dxp),
              jnp.full_like(dxp, _REMOVED_Z)], axis=1,
         )
-        new_cpos = jnp.where(success[:, None], removed, placed)
+        new_cpos = _wherex(success, 1, removed, placed)
         cube_status = _scatter_cube(cube_status, carried_cl, drop, new_status)
         cube_pos = _scatter_cube(cube_pos, carried_cl, drop, new_cpos)
         cube_heading = _scatter_cube(cube_heading, carried_cl, drop, cur_h)
         cubes = cubes + (drop & success).astype(jnp.int32)
         cubes_with_reward = cubes_with_reward + (drop & success).astype(jnp.int32)
         pointless_drop = pointless_drop | (drop & ~success)
-        lifting = jnp.where(drop, False, lifting)
+        lifting = lifting & ~drop
         carried = jnp.where(drop, -1, carried)
         fsm = jnp.where(drop, MANIPULATING, fsm)
         manip_target = jnp.where(
@@ -709,13 +763,12 @@ def _substep(params: EnvParams, rc, s):
         )
         cand, cand_found = _ray_test(params, rc, s, cube_pos, cube_heading, cube_status)
         want = try_grab & cand_found
-        same = (
-            (cand[:, None] == cand[None])
-            & want[:, None]
-            & want[None]
+        wanti = want.astype(jnp.int32)
+        same = (cand[:, None] == cand[None]) & (
+            (wanti[:, None] * wanti[None]) != 0
         )  # (R, R, B)
-        tril = _iota((r_n, r_n, 1), 1) < _iota((r_n, r_n, 1), 0)
-        loses = jnp.any(same & tril, axis=1)
+        tril = _iota(same.shape, 1) < _iota(same.shape, 0)
+        loses = _anyx(same & tril, axis=1)
         win = want & ~loses
         cand_cl = jnp.maximum(cand, 0)
         cand_xy = _gather_cube(cube_pos[:, :2], cand_cl)      # (R, 2, B)
@@ -736,7 +789,7 @@ def _substep(params: EnvParams, rc, s):
         )
         cube_pos = _scatter_cube(cube_pos, cand_cl, lift, lifted_pos)
         cube_heading = _scatter_cube(cube_heading, cand_cl, lift, cur_h)
-        pr_initial = jnp.where(lift[:, None], cand_xy, pr_initial)
+        pr_initial = _wherex(lift, 1, cand_xy, pr_initial)
 
     if has_throwing:
         # prepare_throw + throw_cube (dynamics.controller_substep,
@@ -762,7 +815,7 @@ def _substep(params: EnvParams, rc, s):
         cube_pos = _scatter_cube(cube_pos, cand_cl, throw, back)
         cube_heading = _scatter_cube(cube_heading, cand_cl, throw, cur_h)
         cube_vel = _scatter_cube(cube_vel, cand_cl, throw, v)
-        pr_initial = jnp.where(throw[:, None], cand_xy, pr_initial)
+        pr_initial = _wherex(throw, 1, cand_xy, pr_initial)
         fsm = jnp.where(throw, MANIPULATING, fsm)
         manip_target = jnp.where(
             throw, constants.MANIPULATION_STEPS_THROW, manip_target
@@ -798,13 +851,13 @@ def _substep(params: EnvParams, rc, s):
     dpx = cur_p[:, 0] + ms * constants.DRIVE_STEP_SIZE * jnp.cos(nh)
     dpy = cur_p[:, 1] + ms * constants.DRIVE_STEP_SIZE * jnp.sin(nh)
     drive_pos = jnp.stack([dpx, dpy], axis=1)
-    t_pos = jnp.where(
-        turn_mode[:, None], cur_p, jnp.where(near_wp[:, None], wp, drive_pos)
+    t_pos = _wherex(
+        turn_mode, 1, cur_p, _wherex(near_wp, 1, wp, drive_pos)
     )
     t_heading = jnp.where(turn_mode, t_heading_turn, jnp.where(near_wp, cur_h, nh))
-    target_pos = jnp.where(still[:, None], t_pos, s["target_pos"])
+    target_pos = _wherex(still, 1, t_pos, s["target_pos"])
     target_heading = jnp.where(still, t_heading, s["target_heading"])
-    prev_pos = jnp.where(mov[:, None], cur_p, s["prev_pos"])
+    prev_pos = _wherex(mov, 1, cur_p, s["prev_pos"])
     prev_heading = jnp.where(mov, cur_h, s["prev_heading"])
     has_prev = (s["has_prev"] != 0) | mov
 
@@ -828,8 +881,8 @@ def _substep(params: EnvParams, rc, s):
         landed_pos = jnp.stack([cube_xy2[:, 0], cube_xy2[:, 1], lz], axis=1)
         zer2 = jnp.zeros_like(lz)
         removed2 = jnp.stack([zer2, zer2, jnp.full_like(lz, _REMOVED_Z)], axis=1)
-        pos2 = jnp.where(succ2[:, None], removed2, landed_pos)
-        pr_final = jnp.where(fin_throw[:, None], cube_xy2, pr_final)
+        pos2 = _wherex(succ2, 1, removed2, landed_pos)
+        pr_final = _wherex(fin_throw, 1, cube_xy2, pr_final)
         pr_pending = pr_pending | fin_throw
         cube_status = _scatter_cube(cube_status, c2, fin_throw, st2)
         cube_pos = _scatter_cube(cube_pos, c2, fin_throw, pos2)
@@ -892,19 +945,20 @@ def _ray_test(params: EnvParams, rc, s, cube_pos, cube_heading, cube_status):
     p1x = p0x + reach * dx
     p1y = p0y + reach * dy
 
-    ch = jnp.cos(cube_heading)                                # (C, B)
-    sh = jnp.sin(cube_heading)
-    cxb = cube_pos[:, 0][:, None]                             # (C, 1, B)
-    cyb = cube_pos[:, 1][:, None]
-    rel0x = p0x[None] - cxb                                   # (C, R, B)
-    rel0y = p0y[None] - cyb
-    rel1x = p1x[None] - cxb
-    rel1y = p1y[None] - cyb
-    chb, shb = ch[:, None], sh[:, None]                       # (C, 1, B)
-    q0x = chb * rel0x + shb * rel0y
-    q0y = -shb * rel0x + chb * rel0y
-    q1x = chb * rel1x + shb * rel1y
-    q1y = -shb * rel1x + chb * rel1y
+    # All (R, C, B): the cube axis rides in the MIDDLE so the argmin below
+    # reduces a middle dim (Mosaic cannot reduce the leading dim of >2D).
+    ch = jnp.cos(cube_heading)[None]                          # (1, C, B)
+    sh = jnp.sin(cube_heading)[None]
+    cxb = cube_pos[:, 0][None]                                # (1, C, B)
+    cyb = cube_pos[:, 1][None]
+    rel0x = p0x[:, None] - cxb                                # (R, C, B)
+    rel0y = p0y[:, None] - cyb
+    rel1x = p1x[:, None] - cxb
+    rel1y = p1y[:, None] - cyb
+    q0x = ch * rel0x + sh * rel0y
+    q0y = -sh * rel0x + ch * rel0y
+    q1x = ch * rel1x + sh * rel1y
+    q1y = -sh * rel1x + ch * rel1y
     tmins, tmaxs = [], []
     for q0, q1 in ((q0x, q1x), (q0y, q1y)):
         dq = q1 - q0
@@ -913,11 +967,11 @@ def _ray_test(params: EnvParams, rc, s, cube_pos, cube_heading, cube_status):
         t1 = (CUBE_R - q0) * inv
         tmins.append(jnp.minimum(t0, t1))
         tmaxs.append(jnp.maximum(t0, t1))
-    tmin = jnp.maximum(tmins[0], tmins[1])                    # (C, R, B)
+    tmin = jnp.maximum(tmins[0], tmins[1])                    # (R, C, B)
     tmax = jnp.minimum(tmaxs[0], tmaxs[1])
-    avail = (cube_status == CUBE_AVAILABLE)[:, None]          # (C, 1, B)
+    avail = _bx(cube_status == CUBE_AVAILABLE, 0, tmin.shape)  # (R, C, B)
     valid = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0) & avail
-    ts = jnp.where(valid, jnp.maximum(tmin, 0.0), jnp.inf)    # (C, R, B)
+    ts = jnp.where(valid, jnp.maximum(tmin, 0.0), jnp.inf)    # (R, C, B)
 
     # walls block the ray: 16 samples against the rects
     tline = _iota((1, 16, 1), 1).astype(jnp.float32) / 15.0
@@ -929,10 +983,10 @@ def _ray_test(params: EnvParams, rc, s, cube_pos, cube_heading, cube_status):
     wall_ts = jnp.where(wall_hit, tline, jnp.inf)
     t_wall = jnp.min(wall_ts, axis=1)                         # (R, B)
 
-    oh_c = _first_min_onehot(ts, axis=0)                      # (C, R, B)
-    t_best = jnp.min(ts, axis=0)                              # (R, B)
-    c_iota = _iota(ts.shape, 0).astype(jnp.float32)
-    c_best = jnp.sum(oh_c * c_iota, axis=0).astype(jnp.int32)
+    oh_c = _first_min_onehot(ts, axis=1)                      # (R, C, B)
+    t_best = jnp.min(ts, axis=1)                              # (R, B)
+    c_iota = _iota(ts.shape, 1).astype(jnp.float32)
+    c_best = jnp.sum(oh_c * c_iota, axis=1).astype(jnp.int32)
     found = (t_best < jnp.inf) & (t_best <= t_wall)
     cand = jnp.where(found, c_best, -1)
     return cand, found
