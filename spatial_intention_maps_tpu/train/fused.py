@@ -642,7 +642,7 @@ class FusedTrainer:
     def run(self, total_timesteps=None, log_fn=None):
         import time as _time
 
-        from .loop import exploration_eps
+        from .loop import exploration_eps, use_gt_intention
 
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps
@@ -672,12 +672,7 @@ class FusedTrainer:
 
         while self.timestep < total_with_warmup:
             eps = exploration_eps(cfg, self.timestep, learning_starts)
-            use_gt = False
-            if self.policy.use_predicted_intention:
-                use_gt = (
-                    max(0, self.timestep - learning_starts) / cfg.total_timesteps
-                    <= cfg.use_predicted_intention_frac
-                )
+            use_gt = use_gt_intention(cfg, self.timestep, learning_starts)
             if self.mesh is None:
                 ls, trans, m = self.loop.round(ls, self._variables(), eps, use_gt)
             else:

@@ -44,6 +44,17 @@ class TrackerState:
         )
 
 
+def use_gt_intention(cfg, timestep, learning_starts):
+    """Predicted-intention curriculum gate (reference train.py:230-232):
+    train on the ground-truth intention channel while the fraction of the
+    post-warm-up budget consumed is <= use_predicted_intention_frac, then
+    switch to the intention net's own predictions for the remainder."""
+    if not cfg.get("use_predicted_intention", False):
+        return False
+    frac = max(0, timestep - learning_starts) / cfg.total_timesteps
+    return frac <= cfg.use_predicted_intention_frac
+
+
 def exploration_eps(cfg, timestep, learning_starts):
     """Linear 1 -> final_exploration over exploration_frac of the budget
     after warm-up (train.py:228)."""

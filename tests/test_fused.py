@@ -97,3 +97,28 @@ def test_run_eval_fused_completes_episodes(tmp_path):
         # per-robot credit sums to the episode total (heterogeneous-team
         # evals use this to show every group scoring)
         assert all(sum(r["cubes_by_robot"]) == r["cubes"] for r in ep)
+
+
+def test_use_gt_intention_curriculum_schedule():
+    """Curriculum gate parity with the reference (train.py:230-232): GT
+    intention while (timestep - warmup)/total <= use_predicted_intention_frac,
+    predictions afterwards; always False when the flag is off."""
+    from spatial_intention_maps_tpu.train.loop import use_gt_intention
+    from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
+
+    cfg = ConfigDict(
+        use_predicted_intention=True,
+        use_predicted_intention_frac=0.9,
+        total_timesteps=1000,
+    )
+    warm = 25
+    # Warm-up and the whole GT phase.
+    assert use_gt_intention(cfg, 0, warm)
+    assert use_gt_intention(cfg, warm, warm)
+    assert use_gt_intention(cfg, warm + 900, warm)  # frac == 0.9 inclusive
+    # Past the curriculum fraction: use the net's own predictions.
+    assert not use_gt_intention(cfg, warm + 901, warm)
+    assert not use_gt_intention(cfg, warm + 1000, warm)
+    # Flag off => never GT-gated.
+    off = ConfigDict(use_predicted_intention=False, total_timesteps=1000)
+    assert not use_gt_intention(off, 0, warm)

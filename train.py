@@ -135,6 +135,15 @@ if __name__ == "__main__":
         "--trace-dir", default=None,
         help="capture a jax.profiler device trace of rounds 16-24",
     )
+    parser.add_argument(
+        "--checkpoint-freq", type=int, default=None,
+        help="override cfg.checkpoint_freq (ops cadence only — each save is "
+             "a multi-10s device->host pull on remote-attached TPUs)",
+    )
+    parser.add_argument(
+        "--num-envs", type=int, default=None,
+        help="override cfg.num_parallel_envs (env batch size)",
+    )
     args = parser.parse_args()
     config_path = args.config_path
     if config_path is None:
@@ -146,4 +155,8 @@ if __name__ == "__main__":
     cfg = config_mod.load_config(config_path)
     if args.trace_dir:
         cfg.profile_trace_dir = args.trace_dir
+    if args.checkpoint_freq is not None:
+        cfg.checkpoint_freq = args.checkpoint_freq
+    if args.num_envs is not None:
+        cfg.num_parallel_envs = args.num_envs
     main(cfg, num_devices=args.num_devices)
