@@ -117,23 +117,33 @@ def main():
     jax.block_until_ready(ls.env.robot_pos)
 
     if mode == "train":
-        # Updates interleave with rollout from the host loop, so the round
-        # cadence stays host-driven here; keep the served count lazy (device
-        # scalars, summed once at the end) so the only blocking transfer per
-        # round is the one the update scheduler genuinely needs.
+        # The production scanned-segment path: rollout rounds, replay pushes,
+        # the train_freq credit scheduler, Double-DQN updates, and target
+        # syncs all run on device; one dispatch per rounds_per_segment rounds
+        # (FusedTrainer._get_segment).  No per-round host sync remains.
+        import jax.numpy as jnp
+
+        seg_rounds = int(cfg.get("rounds_per_segment", 16))
+        n_segs = max(1, num_rounds // seg_rounds)
+        seg = trainer._get_segment(False)
+        boundary = jnp.int32(10 ** 9)
+        hot = (ls, tuple(trainer.buffers), jax.random.PRNGKey(1))
+        cold = (
+            tuple(trainer.train_states), trainer._info_nan(),
+            jnp.int32(0), jnp.float32(0.0),
+            jnp.int32(cfg.target_update_freq),
+            jnp.zeros(trainer.policy.num_groups, bool),
+        )
+        hot, cold, ms = seg(hot, cold, boundary)  # compile + warm
+        jax.block_until_ready(cold[2])
         served = 0
-        train_credit = 0.0
         t0 = time.time()
-        for _ in range(num_rounds):
-            ls, m = one_round(ls)
-            n = int(m["served"])
-            served += n
-            train_credit += n / 4  # train_freq=4 (flagship config)
-            while train_credit >= 1.0:
-                train_credit -= 1.0
-                trainer._update(0, jax.random.PRNGKey(served))
-        jax.block_until_ready(ls.env.robot_pos)
+        for _ in range(n_segs):
+            hot, cold, ms = seg(hot, cold, boundary)
+            served += int(jax.numpy.sum(ms["served"]))
         elapsed = time.time() - t0
+        updates = int(jax.numpy.sum(ms["n_updates"]))
+        print(f"# last-segment updates: {updates}", file=sys.stderr)
     else:
         # One dispatch for the whole timed run: a host-side round loop pays a
         # device->host sync (int(m["served"])) plus a dispatch message PER

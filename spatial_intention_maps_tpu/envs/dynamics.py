@@ -202,19 +202,28 @@ def robot_robot_hits(params: EnvParams, state: EnvState, pos, heading):
     """(R, R) bool: capsule-capsule overlap (i hits j), plus robot j's
     carried cube vs robot i's capsule (carried cubes join the robot
     collision set, envs.py:1222-1223)."""
+    return robot_robot_contacts(params, state, pos, heading)[0]
+
+
+def robot_robot_contacts(params: EnvParams, state: EnvState, pos, heading):
+    """(hits (R, R) bool, clearance (R, R) float): overlap flags plus the
+    margin-to-contact per pair (min capsule-capsule distance minus 2R, or
+    capsule-to-carried-cube distance minus R+CUBE_R, whichever is tighter).
+    The clearance picks the deepest contact for the tangential slide."""
     r_n = params.num_robots
     pts = _capsule_points(params, pos, heading)  # (R, S, 2)
     d = jnp.linalg.norm(
         pts[:, None, :, None, :] - pts[None, :, None, :, :], axis=-1
     )  # (R, R, S, S)
-    hits = jnp.min(d, axis=(2, 3)) <= 2 * ROBOT_R
+    clear = jnp.min(d, axis=(2, 3)) - 2 * ROBOT_R
     carried = state.carried_cube
     has = carried >= 0
     cube_p = state.cube_pos[jnp.maximum(carried, 0), :2]  # (R, 2)
     dc = jnp.linalg.norm(pts[:, None, :, :] - cube_p[None, :, None, :], axis=-1)
-    hits |= has[None, :] & (jnp.min(dc, axis=2) <= ROBOT_R + CUBE_R)
-    hits &= ~jnp.eye(r_n, dtype=bool)
-    return hits
+    clear_c = jnp.min(dc, axis=2) - (ROBOT_R + CUBE_R)
+    clear = jnp.minimum(clear, jnp.where(has[None, :], clear_c, jnp.inf))
+    clear = jnp.where(jnp.eye(r_n, dtype=bool), jnp.inf, clear)
+    return clear <= 0.0, clear
 
 
 # ---------------------------------------------------------------------------
@@ -237,16 +246,42 @@ def physics_substep(params: EnvParams, state: EnvState, active) -> EnvState:
     turn = jnp.clip(hd, -constants.TURN_SPEED_PER_SIM_STEP, constants.TURN_SPEED_PER_SIM_STEP)
     new_heading = state.robot_heading + turn
 
-    # Block translation on obstacle / robot overlap.
-    wall_hit = robot_hits_walls(params, state, new_pos, new_heading)
-    rr_hits = robot_robot_hits(params, state, new_pos, new_heading)
-    robot_hit = jnp.any(rr_hits, axis=1)
-    blocked = wall_hit | robot_hit
+    # Block translation on obstacle overlap; robot-robot contact SLIDES.
+    # The reference's constraint-servo robots slide along each other under
+    # PyBullet contact resolution rather than freeze (envs.py:1459-1461);
+    # a hard block exaggerates no-coordination interference (VERDICT r3).
+    # Contact tests evaluate every robot at its EFFECTIVE candidate pose
+    # (frozen robots stay put; their stale servo target is not a phantom).
     moving_mask = (state.fsm == MOVING) & active
-    new_pos = jnp.where((blocked | ~moving_mask)[:, None], state.robot_pos, new_pos)
+    cand = jnp.where(moving_mask[:, None], new_pos, state.robot_pos)
+    cand_h = jnp.where(moving_mask, new_heading, state.robot_heading)
+    wall_hit = robot_hits_walls(params, state, cand, cand_h)
+    rr_hits, clearance = robot_robot_contacts(params, state, cand, cand_h)
+    robot_hit = jnp.any(rr_hits, axis=1)
+
+    # Tangential slide: drop the servo step's approach component toward the
+    # deepest contact.  Relative motion orthogonal to the separation vector
+    # can only grow the pair distance, so no robot-robot recheck is needed;
+    # the slid pose is re-tested against walls only.
+    v = cand - state.robot_pos                                   # (R, 2)
+    j_star = jnp.argmin(jnp.where(rr_hits, clearance, jnp.inf), axis=1)
+    n_vec = cand - cand[j_star]
+    n_hat = n_vec / jnp.maximum(
+        jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-9
+    )
+    appr = jnp.minimum(jnp.sum(v * n_hat, axis=-1), 0.0)         # (R,)
+    slid = state.robot_pos + (v - appr[:, None] * n_hat)
+    slide_ok = ~robot_hits_walls(params, state, slid, cand_h)
+    do_slide = robot_hit & ~wall_hit & moving_mask & slide_ok
+
+    blocked = wall_hit | (robot_hit & ~do_slide)
+    new_pos = jnp.where((blocked | ~moving_mask)[:, None], state.robot_pos, cand)
+    new_pos = jnp.where(do_slide[:, None], slid, new_pos)
     new_heading = jnp.where(moving_mask, new_heading, state.robot_heading)
 
-    # Contact flags: the mover and (symmetrically) the robot it ran into.
+    # Contact flags: the mover and (symmetrically) the robot it ran into
+    # (actual-touch semantics like getContactPoints; sliding robots in
+    # contact still register, so collision aborts fire as in the reference).
     blocked_obstacle = wall_hit & moving_mask
     blocked_robot = (robot_hit & moving_mask) | jnp.any(
         rr_hits & moving_mask[:, None], axis=0

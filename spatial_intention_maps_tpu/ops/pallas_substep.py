@@ -406,7 +406,13 @@ def _substep(params: EnvParams, rc, s):
     )
     new_heading = s["robot_heading"] + turn
 
-    pts = _capsule_points(rc, new_pos, new_heading)       # (R, S, 2, B)
+    moving_mask = (s["fsm"] == MOVING) & act_r                # (R, B) bool
+    # Effective candidate poses: frozen robots are contact-tested where they
+    # stand, not at their stale servo target (dynamics.physics_substep).
+    cand = _wherex(moving_mask, 1, new_pos, s["robot_pos"])   # (R, 2, B)
+    cand_h = jnp.where(moving_mask, new_heading, s["robot_heading"])
+
+    pts = _capsule_points(rc, cand, cand_h)                   # (R, S, 2, B)
     px, py = pts[:, :, 0], pts[:, :, 1]                       # (R, S, B)
     wall_hit = jnp.zeros(px.shape[:1] + px.shape[2:], bool)   # (R, B)
     for sd in _aabb_sd(px, py, s["rects"]):
@@ -414,26 +420,55 @@ def _substep(params: EnvParams, rc, s):
     for sd in _fillet_sd(px, py, s["corners"]):
         wall_hit |= _anyx(sd <= ROBOT_R, axis=1)
 
-    # robot-robot capsule overlap (R, R, S, S, B)
+    # robot-robot clearance (margin to contact) per pair (R, R, B)
     dvec_rr = pts[:, None, :, None] - pts[None, :, None, :]
     d_rr = _norm2(dvec_rr, axis=4)                            # (R, R, S, S, B)
-    rr_hits = jnp.min(d_rr, axis=(2, 3)) <= 2 * ROBOT_R       # (R, R, B)
+    clear = jnp.min(d_rr, axis=(2, 3)) - 2 * ROBOT_R          # (R, R, B)
     carried = s["carried_cube"]
     has_carry0 = carried >= 0                                 # (R, B)
     cube_p = _gather_cube(s["cube_pos"][:, :2], jnp.maximum(carried, 0))
     dc = _norm2(pts[:, None] - cube_p[None, :, None], axis=3)  # (R, R, S, B)
-    rr_hits |= _bx(has_carry0, 0, rr_hits.shape) & (
-        jnp.min(dc, axis=2) <= ROBOT_R + CUBE_R
-    )
-    eye = _iota(rr_hits.shape, 0) == _iota(rr_hits.shape, 1)
-    rr_hits &= ~eye
+    clear_c = jnp.min(dc, axis=2) - (ROBOT_R + CUBE_R)        # (R, R, B)
+    clear = jnp.minimum(clear, _wherex(has_carry0, 0, clear_c, jnp.inf))
+    eye = _iota(clear.shape, 0) == _iota(clear.shape, 1)
+    clear = jnp.where(eye, jnp.inf, clear)
+    rr_hits = clear <= 0.0                                    # (R, R, B)
     robot_hit = _anyx(rr_hits, axis=1)                        # (R, B)
 
-    blocked = wall_hit | robot_hit
-    moving_mask = (s["fsm"] == MOVING) & act_r                # (R, B) bool
+    # Tangential slide (dynamics.physics_substep): drop the servo step's
+    # approach component toward the deepest contact (relative motion
+    # orthogonal to the separation vector can only grow the pair distance,
+    # so no robot recheck is needed); wall-recheck the slid pose.
+    vx = cand[:, 0] - s["robot_pos"][:, 0]                    # (R, B)
+    vy = cand[:, 1] - s["robot_pos"][:, 1]
+    oh_j = _first_min_onehot(jnp.where(rr_hits, clear, jnp.inf), axis=1)
+    cx, cy = cand[:, 0], cand[:, 1]                           # (R, B)
+    selx = jnp.zeros_like(cx)
+    sely = jnp.zeros_like(cy)
+    for j in range(r_n):                 # unrolled: no leading-dim reduce
+        selx = selx + oh_j[:, j] * cx[j][None]
+        sely = sely + oh_j[:, j] * cy[j][None]
+    nx, ny = cx - selx, cy - sely
+    nn = jnp.maximum(jnp.sqrt(nx * nx + ny * ny), 1e-9)
+    nx, ny = nx / nn, ny / nn
+    appr = jnp.minimum(vx * nx + vy * ny, 0.0)                # (R, B)
+    slx = s["robot_pos"][:, 0] + (vx - appr * nx)
+    sly = s["robot_pos"][:, 1] + (vy - appr * ny)
+    slid = jnp.stack([slx, sly], axis=1)                      # (R, 2, B)
+    pts2 = _capsule_points(rc, slid, cand_h)
+    px2, py2 = pts2[:, :, 0], pts2[:, :, 1]
+    wall2 = jnp.zeros_like(wall_hit)
+    for sd in _aabb_sd(px2, py2, s["rects"]):
+        wall2 |= _anyx(sd <= ROBOT_R, axis=1)
+    for sd in _fillet_sd(px2, py2, s["corners"]):
+        wall2 |= _anyx(sd <= ROBOT_R, axis=1)
+    do_slide = robot_hit & ~wall_hit & moving_mask & ~wall2
+
+    blocked = wall_hit | (robot_hit & ~do_slide)
     new_pos = _wherex(
-        blocked | ~moving_mask, 1, s["robot_pos"], new_pos
+        blocked | ~moving_mask, 1, s["robot_pos"], cand
     )
+    new_pos = _wherex(do_slide, 1, slid, new_pos)
     new_heading = jnp.where(moving_mask, new_heading, s["robot_heading"])
     blocked_obstacle = wall_hit & moving_mask
     # "hit by a moving robot": OR over the leading (i) axis, unrolled —

@@ -114,6 +114,13 @@ class Board:
         y = (self.width_mm / 2 - py / PIXELS_PER_MM) / 1000.0
         return x, y
 
+    def position_to_pixel(self, x, y):
+        """Board-centered meters -> warped pixel (int) — the inverse of
+        :meth:`pixel_to_position`, used by the debug overlay."""
+        px = (x * 1000.0 + self.length_mm / 2) * PIXELS_PER_MM
+        py = (self.width_mm / 2 - y * 1000.0) * PIXELS_PER_MM
+        return int(round(px)), int(round(py))
+
     def detect_poses(self, warped):
         """-> (robot_poses, cube_poses): {marker_id: {'position': (x, y),
         'heading': rad}} with corner-angle-consensus headings and side-face
@@ -153,16 +160,57 @@ class Board:
         return robot_poses, cube_poses
 
 
+def render_debug_overlay(board, warped, robot_poses, cube_poses, debug_data):
+    """Draw the env-supplied controller debug data onto a copy of the warped
+    frame (reference aruco/server.py:118-145): detected poses, pure-pursuit
+    lookahead circles, and turning-arc ellipses.
+
+    ``debug_data``: iterable of per-robot payloads, each either None or
+    ``(lookahead_xy, signed_radius_m, heading_err, position_xy, heading)``
+    (the tuple RobotDriver.step publishes).  Returns the annotated image —
+    pure so it is unit-testable without a GUI.
+    """
+    cv2 = _require_cv2()
+    img = warped.copy()
+    for pose in list(robot_poses.values()) + list(cube_poses.values()):
+        cv2.circle(img, board.position_to_pixel(*pose["position"]), 6,
+                   (0, 255, 0), 2)
+    if not debug_data:
+        return img
+    for payload in debug_data:
+        if payload is None:
+            continue
+        lookahead, signed_radius, heading_err, position, heading = payload
+        if lookahead is not None:
+            cv2.circle(img, board.position_to_pixel(*lookahead), 10,
+                       (0, 0, 255), 2)
+        if signed_radius is not None and position is not None:
+            # Turning-arc ellipse (server.py:139-143): circle center sits
+            # perpendicular to the heading at the signed radius.
+            center = (
+                position[0] - signed_radius * math.sin(heading),
+                position[1] + signed_radius * math.cos(heading),
+            )
+            radius = int(abs(signed_radius) * 1000.0 * PIXELS_PER_MM)
+            angle = math.degrees(-heading) + math.copysign(1, signed_radius) * 90
+            end_angle = 2 * math.degrees(-heading_err)
+            cv2.ellipse(img, board.position_to_pixel(*center),
+                        (radius, radius), angle, 0, end_angle, (0, 0, 255), 2)
+    return img
+
+
 class PoseServer:
     """Accepts one env connection and answers pose requests
     (aruco/server.py:209-258): recv debug data (or None), send
-    (robot_poses, cube_poses)."""
+    (robot_poses, cube_poses).  With ``debug=True`` the received controller
+    payloads are rendered on the warped frame (server.py:118-145)."""
 
-    def __init__(self, board, camera, port, x_offset=0.0):
+    def __init__(self, board, camera, port, x_offset=0.0, debug=False):
         self.board = board
         self.camera = camera
         self.port = port
         self.x_offset = x_offset  # large-board left/right remapping
+        self.debug = debug
 
     def serve_forever(self):
         listener = Listener(("localhost", self.port), authkey=POSE_SERVER_AUTHKEY)
@@ -171,7 +219,7 @@ class PoseServer:
             conn = listener.accept()
             try:
                 while True:
-                    _debug_data = conn.recv()  # waypoints etc. for overlay
+                    debug_data = conn.recv()  # waypoints etc. for overlay
                     t0 = time.time()
                     frame = self.camera.read()
                     if self.board.homography is None:
@@ -184,6 +232,14 @@ class PoseServer:
                         px, py = pose["position"]
                         pose["position"] = (px + self.x_offset, py)
                     conn.send((robot_poses, cube_poses))
+                    if self.debug:  # pragma: no cover - GUI path
+                        cv2 = _require_cv2()
+                        img = render_debug_overlay(
+                            self.board, warped, robot_poses, cube_poses,
+                            debug_data,
+                        )
+                        cv2.imshow(f"poses:{self.port}", img)
+                        cv2.waitKey(1)
                     print(f"served poses in {1000 * (time.time() - t0):.1f} ms")
             except EOFError:
                 pass

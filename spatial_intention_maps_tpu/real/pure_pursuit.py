@@ -36,7 +36,12 @@ def circle_segment_intersections(center, radius, p0, p1):
 def lookahead_point(position, waypoints, lookahead=LOOKAHEAD_DISTANCE):
     """The point on the waypoint polyline one lookahead ahead of the robot:
     the furthest-along intersection of the lookahead circle with the path,
-    falling back to the final waypoint when none exists."""
+    falling back to the final waypoint when none exists — or when the goal
+    itself is inside the lookahead circle (otherwise the only intersection
+    lies behind the robot and pursuit would turn away from the goal)."""
+    last = tuple(waypoints[-1][:2])
+    if math.hypot(last[0] - position[0], last[1] - position[1]) <= lookahead:
+        return last
     best = None
     for k in range(len(waypoints) - 1):
         p0, p1 = waypoints[k], waypoints[k + 1]
@@ -46,7 +51,7 @@ def lookahead_point(position, waypoints, lookahead=LOOKAHEAD_DISTANCE):
                 p0[1] + t * (p1[1] - p0[1]),
             )
     if best is None:
-        best = tuple(waypoints[-1][:2])
+        best = last
     return best
 
 

@@ -26,8 +26,10 @@ from . import POSE_SERVER_AUTHKEY, POSE_SERVER_PORTS
 from .pure_pursuit import LOOKAHEAD_DISTANCE, TURN_THRESHOLD, arc_command, heading_error, lookahead_point
 
 # Controller FSM states (envs.py:1564)
-IDLE, TURNING, DRIVING, ALIGNING, LIFTING, STOPPING = (
-    "idle", "turning", "driving", "aligning", "lifting", "stopping",
+(IDLE, TURNING, DRIVING, SLOWING, ALIGNING, LIFTING, THROWING, PULLING,
+ RESCUING, STOPPING) = (
+    "idle", "turning", "driving", "slowing", "aligning", "lifting",
+    "throwing", "pulling", "rescuing", "stopping",
 )
 
 
@@ -35,12 +37,27 @@ class RobotDriver:
     """Pure-pursuit waypoint follower for one physical robot.
 
     transport: object with ``set_wheel_speeds(left, right)``,
-    ``set_lift(up: bool)`` — the Vector SDK in production, a fake in tests.
-    Implements the reference's stuck-turn / stuck-drive / failed-lift
-    recovery behaviors (envs.py:1607-1705) in simplified form.
+    ``set_lift(up: bool)``, and (optionally, for throwing robots)
+    ``set_lift_motor(speed)`` plus a ``lift_height`` readout in [0, 1] —
+    the Vector SDK in production, a fake in tests.
+
+    Implements the reference RealRobotController's recovery behaviors
+    (envs.py:1563-1873): stuck-turn/drive back-off, slowing + aligning
+    approach states, failed-lift abort (>20 ticks, envs.py:1675-1679),
+    failed-throw pull-back-and-retry (envs.py:1690-1700, 1818-1826), and
+    the dropped-lifted-cube monitor (envs.py:1747-1756).
     """
 
     STUCK_SECONDS = 3.0
+    LIFT_TICK_LIMIT = 20       # envs.py:1677 (cube probably stuck on a wall)
+    THROW_TICK_LIMIT = 10      # envs.py:1690-1700
+    THROW_DONE_TICKS = 20      # envs.py:1686-1689
+    PULL_TICKS = 10            # envs.py:1818-1826
+    RESCUE_TICKS = 10          # envs.py:1702-1705
+    CUBE_MONITOR_TICKS = 10    # envs.py:1747-1756
+    SLOW_DIST = constants.CUBE_WIDTH     # driving -> slowing (envs.py:1646)
+    SLOW_EPS = 0.002                     # slowing done, 2 mm (envs.py:1649)
+    ALIGN_EPS = 0.001                    # aligning buffer, 1 mm (envs.py:1652)
 
     def __init__(self, transport, robot_type="lifting_robot"):
         self.transport = transport
@@ -48,28 +65,152 @@ class RobotDriver:
         self.state = IDLE
         self.waypoints = None
         self.end_effector_action = False
+        self.carrying = False
+        self.dropped_cube = False      # set by the lifted-cube monitor
+        self.debug_data = None         # aruco overlay payload (server.py:124)
+        self._ee_location = constants.end_effector_location(
+            constants.ROBOT_BASE_LENGTHS[robot_type]
+        )
         self._last_progress = (None, time.time())
+        self._ticks = 0                # per-state tick counter
+        self._cube_ticks = 0           # lifted/thrown cube monitor counter
 
     def new_action(self, waypoints, end_effector_action):
         self.waypoints = [tuple(w[:2]) for w in waypoints]
         self.end_effector_action = end_effector_action
         self.state = TURNING
         self._last_progress = (None, time.time())
+        self._ticks = 0
+        self._cube_ticks = 0
 
     def is_idle(self):
         return self.state == IDLE
+
+    # -- auxiliary monitors -------------------------------------------------
+    def _lift_height(self):
+        """Lift readout if the transport provides one, else None (timer
+        fallback keeps simple transports working)."""
+        return getattr(self.transport, "lift_height", None)
+
+    def monitor_lifted_cube(self, robot_position, estimated_cube_position):
+        """Reference envs.py:1747-1756: a carried cube whose pose estimate
+        strays >10 cm from the robot for >10 consecutive polls was dropped —
+        lower the lift and flag the drop so the env can re-mark the cube."""
+        if not self.carrying:
+            return
+        d = math.hypot(
+            robot_position[0] - estimated_cube_position[0],
+            robot_position[1] - estimated_cube_position[1],
+        )
+        if d > 0.1:
+            self._cube_ticks += 1
+        else:
+            self._cube_ticks = 0
+        if self._cube_ticks > self.CUBE_MONITOR_TICKS:
+            self._cube_ticks = 0
+            self.transport.set_lift(up=False)
+            self.carrying = False
+            self.dropped_cube = True
+
+    # -- manipulation transitions (envs.py:1766-1830) -----------------------
+    def _start_manipulation(self):
+        self._ticks = 0
+        if self.robot_type == "throwing_robot":
+            # prepare_throw_cube + lift motor up (envs.py:1797-1800)
+            lm = getattr(self.transport, "set_lift_motor", None)
+            if lm is not None:
+                lm(8.0)
+            else:
+                self.transport.set_lift(up=True)
+            self.state = THROWING
+        else:
+            self.transport.set_lift(up=True)
+            self.state = LIFTING
+            self._lift_t0 = time.time()
 
     def step(self, position, heading):
         """One control tick given the latest pose estimate; issues motor
         commands through the transport."""
         if self.state == IDLE or self.waypoints is None:
             return
-        target = lookahead_point(position, self.waypoints)
-        dist_to_goal = math.hypot(
-            self.waypoints[-1][0] - position[0], self.waypoints[-1][1] - position[1]
-        )
 
-        # Stuck detection (envs.py:1607-1640): no progress -> re-issue.
+        # ---- manipulation states (pose-independent) ----
+        if self.state == LIFTING:
+            h = self._lift_height()
+            self._ticks += 1
+            done = (h is not None and h > 0.5) or (
+                h is None and time.time() - self._lift_t0 > 1.5
+            )
+            if done:
+                if self.robot_type == "rescue_robot":
+                    self._ticks = 0
+                    self.state = RESCUING
+                else:
+                    self.carrying = True
+                    self.state = IDLE
+            elif h is not None and self._ticks > self.LIFT_TICK_LIMIT:
+                # Failed lift: cube is probably stuck against a wall
+                # (envs.py:1675-1679) — abort the action.
+                self.transport.set_lift(up=False)
+                self.state = IDLE
+            return
+        if self.state == THROWING:
+            h = self._lift_height()
+            if h is not None and h > 0.5:
+                self._ticks += 1
+                if self._ticks > self.THROW_DONE_TICKS:
+                    # _done_throwing (envs.py:1813-1817)
+                    lm = getattr(self.transport, "set_lift_motor", None)
+                    if lm is not None:
+                        lm(0.0)
+                    self.transport.set_lift(up=False)
+                    self.state = IDLE
+            else:
+                self._ticks += 1
+                if self._ticks > self.THROW_TICK_LIMIT:
+                    # _failed_throwing: lift jammed -> back up and retry
+                    # (envs.py:1690-1700, 1818-1821).
+                    self._ticks = 0
+                    lm = getattr(self.transport, "set_lift_motor", None)
+                    if lm is not None:
+                        lm(0.0)
+                    self.transport.set_wheel_speeds(-0.04, -0.04)
+                    self.state = PULLING
+            return
+        if self.state == PULLING:
+            self._ticks += 1
+            if self._ticks > self.PULL_TICKS:
+                # _done_pulling: stop, raise the lift, try the throw again
+                # (envs.py:1822-1826).
+                self._ticks = 0
+                self.transport.set_wheel_speeds(0.0, 0.0)
+                lm = getattr(self.transport, "set_lift_motor", None)
+                if lm is not None:
+                    lm(8.0)
+                else:
+                    self.transport.set_lift(up=True)
+                self.state = THROWING
+            return
+        if self.state == RESCUING:
+            self._ticks += 1
+            if self._ticks > self.RESCUE_TICKS:
+                # _done_rescuing (envs.py:1828-1830)
+                self.transport.set_lift(up=False)
+                self.state = IDLE
+            return
+
+        # ---- navigation states ----
+        target = lookahead_point(position, self.waypoints)
+        goal = self.waypoints[-1]
+        dist_to_goal = math.hypot(goal[0] - position[0], goal[1] - position[1])
+        # Signed distance to the end-effector touch point (envs.py:1624).
+        signed_dist = dist_to_goal - (
+            self._ee_location + constants.CUBE_WIDTH / 2
+        ) if self.end_effector_action else dist_to_goal
+        err = heading_error(position, heading, target)
+        self.debug_data = (target, None, err, tuple(position), heading)
+
+        # Stuck detection (envs.py:1607-1640): no progress -> back off.
         prev, t0 = self._last_progress
         if prev is not None and math.hypot(
             position[0] - prev[0], position[1] - prev[1]
@@ -83,7 +224,6 @@ class RobotDriver:
             return
 
         if self.state == TURNING:
-            err = heading_error(position, heading, target)
             if abs(err) < TURN_THRESHOLD:
                 self.state = DRIVING
             else:
@@ -92,26 +232,68 @@ class RobotDriver:
                 return
 
         if self.state == DRIVING:
-            if dist_to_goal < 0.01:
+            if self.end_effector_action and signed_dist < self.SLOW_DIST:
+                # _done_driving (envs.py:1768-1776): slow approach; hooks
+                # robots align with the target cube before manipulating.
+                self.state = (
+                    ALIGNING if self.robot_type != "pushing_robot" else SLOWING
+                )
+            elif not self.end_effector_action and dist_to_goal < 0.01:
                 self.transport.set_wheel_speeds(0.0, 0.0)
-                if self.end_effector_action and self.robot_type != "pushing_robot":
-                    self.state = LIFTING
-                    self.transport.set_lift(up=True)
-                    self._lift_t0 = time.time()
-                else:
-                    self.state = IDLE
+                if self.carrying and self.robot_type == "lifting_robot":
+                    # Plain move while carrying just ends (drop only on
+                    # channel-1 actions, envs.py:1782-1789).
+                    pass
+                self.state = IDLE
                 return
-            err = heading_error(position, heading, target)
-            if abs(err) > math.radians(45):
+            elif abs(err) > math.radians(45):
                 self.state = TURNING
                 return
+            else:
+                left, right = arc_command(position, heading, target)
+                self.transport.set_wheel_speeds(left, right)
+                sr = None
+                if abs(math.sin(err)) > 1e-6:
+                    sr = math.hypot(target[0] - position[0],
+                                    target[1] - position[1]) / (2 * math.sin(err))
+                self.debug_data = (target, sr, err, tuple(position), heading)
+                return
+
+        if self.state == SLOWING:
+            # Speed proportional to remaining distance (envs.py:1625).
+            if abs(signed_dist) < self.SLOW_EPS:
+                self.transport.set_wheel_speeds(0.0, 0.0)
+                if self.carrying and self.end_effector_action:
+                    # Drop the carried cube here (envs.py:1782-1786).
+                    self.transport.set_lift(up=False)
+                    self.carrying = False
+                self.state = IDLE
+                return
+            scale = max(0.1, min(1.0, 20.0 * abs(signed_dist)))
+            sign = math.copysign(1.0, signed_dist)
             left, right = arc_command(position, heading, target)
-            self.transport.set_wheel_speeds(left, right)
+            self.transport.set_wheel_speeds(
+                sign * scale * left, sign * scale * right
+            )
             return
 
-        if self.state == LIFTING:
-            if time.time() - self._lift_t0 > 1.5:
-                self.state = IDLE
+        if self.state == ALIGNING:
+            if self.carrying:
+                # Carrying robots don't re-align on a cube; drop path goes
+                # through slowing (envs.py:1768-1776 gates on potential_cube).
+                self.state = SLOWING
+                return
+            if abs(err) < TURN_THRESHOLD and signed_dist < self.ALIGN_EPS:
+                # _done_aligning (envs.py:1793-1800).
+                self.transport.set_wheel_speeds(0.0, 0.0)
+                self._start_manipulation()
+                return
+            scale = max(0.1, min(1.0, 20.0 * abs(signed_dist)))
+            sign = math.copysign(1.0, signed_dist) if abs(signed_dist) > self.ALIGN_EPS else 1.0
+            left, right = arc_command(position, heading, target)
+            self.transport.set_wheel_speeds(
+                sign * scale * left, sign * scale * right
+            )
             return
 
 
@@ -154,16 +336,29 @@ class RealEnv:
         self.state = None
 
     # -- pose mirroring (update_poses, envs.py:389-432) -------------------
-    def poll_poses(self):
+    def poll_poses(self, debug_data=None):
+        """``debug_data``: optional per-robot overlay payloads forwarded to
+        the pose servers for rendering (reference envs.py:394-399 sends the
+        controllers' waypoints/pursuit data; aruco/server.py:124-145 draws
+        them on the debug window)."""
         robot_poses, cube_poses = {}, {}
         for conn in self.conns:
-            conn.send(None)
+            conn.send(debug_data)
             rp, cp = conn.recv()
             if rp:
                 robot_poses.update(rp)
             if cp:
                 cube_poses.update(cp)
         return robot_poses, cube_poses
+
+    def _nearest_cube(self, robot_index, cube_poses):
+        pos = np.asarray(self.state.robot_pos[robot_index])
+        best, best_d = None, np.inf
+        for cid, pose in cube_poses.items():
+            d = math.hypot(pose["position"][0] - pos[0], pose["position"][1] - pos[1])
+            if d < best_d:
+                best, best_d = cid, d
+        return best
 
     def _mirror(self, robot_poses, cube_poses):
         import jax.numpy as jnp
@@ -250,15 +445,28 @@ class RealEnv:
         self.drivers[r].new_action(waypoints, end_effector_action=channel == 1)
 
         # Drive until some robot idles (the sequential protocol).
+        carried = getattr(self, "_carried_cube", [None] * len(self.drivers))
+        self._carried_cube = carried
         while not any(d.is_idle() for d in self.drivers):
-            robot_poses, cube_poses = self.poll_poses()
+            debug = [d.debug_data for d in self.drivers]
+            robot_poses, cube_poses = self.poll_poses(debug)
             self._mirror(robot_poses, cube_poses)
             for k, d in enumerate(self.drivers):
+                was_carrying = d.carrying
+                pos_k = tuple(np.asarray(self.state.robot_pos[k]))
                 if not d.is_idle():
-                    d.step(
-                        tuple(np.asarray(self.state.robot_pos[k])),
-                        float(self.state.robot_heading[k]),
+                    d.step(pos_k, float(self.state.robot_heading[k]))
+                # Carried-cube bookkeeping + dropped-cube monitor
+                # (envs.py:419-430 + 1747-1756).
+                if d.carrying and not was_carrying:
+                    carried[k] = self._nearest_cube(k, cube_poses)
+                if d.carrying and carried[k] is not None and carried[k] in cube_poses:
+                    d.monitor_lifted_cube(
+                        pos_k, cube_poses[carried[k]]["position"]
                     )
+                if d.dropped_cube:
+                    d.dropped_cube = False
+                    carried[k] = None
             time.sleep(self.poll_dt)
 
         obs, robot, group = self._observe_fn(self.state)

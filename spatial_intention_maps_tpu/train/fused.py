@@ -422,6 +422,27 @@ class FusedLoop:
         return self._round(ls, variables, eps, use_gt_intention)
 
 
+@struct.dataclass
+class TrainCarry:
+    """Device-resident training-loop state for the scanned segment driver.
+
+    Everything the reference's host loop mutated per timestep
+    (train.py:225-307) lives here as device arrays so whole *segments* of
+    rounds run in one XLA dispatch: replay rings, per-group train states, the
+    update-RNG stream, the global timestep, the fractional train_freq credit,
+    the next target-sync threshold, and the per-group warm latch."""
+
+    ls: Any                      # LoopState
+    buffers: Any                 # tuple(G) of ReplayBuffer ((n_dev,...) sharded)
+    train_states: Any            # tuple(G) of GroupTrainState
+    key: jnp.ndarray             # update RNG: (2,) single-dev / (n_dev, 2) sharded
+    timestep: jnp.ndarray        # int32 — global served actions
+    train_credit: jnp.ndarray    # float32 — fractional updates owed
+    next_sync: jnp.ndarray       # int32 — next target-network sync timestep
+    warm: jnp.ndarray            # (G,) bool — per-group replay warm latch
+    last_info: Any               # tuple(G) of {loss, td_error[, loss_intention]}
+
+
 class FusedTrainer:
     """Full DQN training on the fused loop (replaces the lockstep Trainer for
     production runs): act -> step -> store -> learn with replay, per-group
@@ -525,6 +546,11 @@ class FusedTrainer:
                 info.update(info_i)
             return ts, info
 
+        # Raw (unjitted) stage fns, reused by the scanned segment driver.
+        self._push_group_fn = push_group
+        self._update_group_fn = update_group
+        self._segments = {}
+
         if self.mesh is None:
             self.buffers = [
                 ReplayBuffer.create(buffer_cap, cfg.num_input_channels)
@@ -539,7 +565,7 @@ class FusedTrainer:
             # Per-shard replay rings stacked on a sharded leading axis;
             # push/update run under shard_map (train_multiprocess.py:423-490's
             # learner/worker split collapsed onto the mesh).
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             mesh = self.mesh
@@ -562,7 +588,7 @@ class FusedTrainer:
 
                 return jax.jit(shard_map(
                     body, mesh=mesh, in_specs=(P("dp"), P("dp")),
-                    out_specs=P("dp"), check_rep=False,
+                    out_specs=P("dp"), check_vma=False,
                 ))
 
             self._sharded_push = [
@@ -579,7 +605,7 @@ class FusedTrainer:
 
                 return jax.jit(shard_map(
                     body, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
-                    out_specs=(P(), P()), check_rep=False,
+                    out_specs=(P(), P()), check_vma=False,
                 ))
 
             self._sharded_update = [
@@ -639,7 +665,328 @@ class FusedTrainer:
             v["intention"] = [ts.intention_variables for ts in self.train_states]
         return v
 
+    # ------------------------------------------------------------------
+    # Scanned on-device training segments
+    # ------------------------------------------------------------------
+    def _info_nan(self):
+        d = {"loss": jnp.float32(jnp.nan), "td_error": jnp.float32(jnp.nan)}
+        if self.policy.use_predicted_intention:
+            d["loss_intention"] = jnp.float32(jnp.nan)
+        return tuple(dict(d) for _ in range(self.policy.num_groups))
+
+    def _get_segment(self, use_gt: bool):
+        """Jitted ``(carry, boundary) -> (carry, stacked_metrics)``: scans
+        ``cfg.rounds_per_segment`` fused rounds with the WHOLE train.py
+        scheduler (train.py:225-307) on device — replay pushes, the
+        train_freq credit counter, the per-group warm gate, the epsilon
+        schedule, Double-DQN (and intention) updates via a dynamic-trip-count
+        while_loop, and target syncs.  Rounds whose start timestep is past
+        ``boundary`` are no-ops (lax.cond), so ONE compile covers every
+        segment of a run phase and budget overshoot stays below one round's
+        service capacity — exactly the host loop's overshoot.  This removes
+        the per-round host dispatch + blocking served-count sync the old
+        loop paid (~50 ms RTT per ~100 ms round on remote-attached TPUs)."""
+        cache_key = bool(use_gt)
+        if cache_key in self._segments:
+            return self._segments[cache_key]
+
+        cfg = self.cfg
+        G = self.policy.num_groups
+        loop = self.loop
+        push_group = self._push_group_fn
+        update_group = self._update_group_fn
+        sync_target = self.dqn.sync_target
+        learning_starts = int(round(cfg.learning_starts_frac * cfg.total_timesteps))
+        train_freq = float(cfg.train_freq)
+        tgt_freq = int(cfg.target_update_freq)
+        exp_denom = max(float(cfg.exploration_frac * cfg.total_timesteps), 1e-9)
+        final_eps = float(cfg.final_exploration)
+        discounts = [float(d) for d in cfg.discount_factors]
+        n_rounds = int(cfg.get("rounds_per_segment", 16))
+        sharded = self.mesh is not None
+        local_bs = cfg.batch_size // self.num_devices
+        axis = "dp" if sharded else None
+
+        def active_round(carry):
+            v = {"policy": [ts.variables for ts in carry.train_states]}
+            if self.policy.use_predicted_intention:
+                v["intention"] = [
+                    ts.intention_variables for ts in carry.train_states
+                ]
+            # Linear epsilon schedule from the on-device timestep
+            # (train.py:228 / loop.exploration_eps).
+            frac = jnp.clip(
+                (carry.timestep.astype(jnp.float32) - learning_starts)
+                / exp_denom, 0.0, 1.0,
+            )
+            eps = 1.0 - (1.0 - final_eps) * frac
+            if sharded:
+                local = carry.ls.replace(
+                    key=carry.ls.key[0], round_idx=carry.ls.round_idx[0]
+                )
+                new_ls, trans, m = loop._round(
+                    local, v, eps, use_gt_intention=use_gt
+                )
+                served_min = jax.lax.pmin(m["served"], axis)
+                m = {k2: jax.lax.psum(v2, axis) for k2, v2 in m.items()}
+                m["served_shard_min"] = served_min
+                new_ls = new_ls.replace(
+                    key=new_ls.key[None], round_idx=new_ls.round_idx[None]
+                )
+            else:
+                new_ls, trans, m = loop._round(
+                    carry.ls, v, eps, use_gt_intention=use_gt
+                )
+
+            buffers = []
+            fills = []
+            for g in range(G):
+                if sharded:
+                    buf = jax.tree.map(lambda x: x[0], carry.buffers[g])
+                    buf = push_group(buf, trans, g)
+                    fills.append(jax.lax.pmin(buf.size, axis))
+                    buffers.append(jax.tree.map(lambda x: x[None], buf))
+                else:
+                    buf = push_group(carry.buffers[g], trans, g)
+                    fills.append(buf.size)
+                    buffers.append(buf)
+            buffers = tuple(buffers)
+
+            served = m["served"]
+            timestep = carry.timestep + served
+            # Warm gate: min per-shard fill >= per-shard sample size
+            # (train_multiprocess.py:365), latched like the host loop.
+            warm = carry.warm | (jnp.stack(fills) >= local_bs)
+            accrue = timestep >= learning_starts
+            credit = carry.train_credit + jnp.where(
+                accrue, served.astype(jnp.float32) / train_freq, 0.0
+            )
+            n_upd = jnp.floor(credit).astype(jnp.int32)
+            credit = credit - n_upd.astype(jnp.float32)
+
+            upd_key = carry.key[0] if sharded else carry.key
+
+            def upd_cond(st):
+                return st[0] < n_upd
+
+            def upd_body(st):
+                i, tss, k, infos = st
+                k, ksub = jax.random.split(k)
+                kg = jax.random.split(ksub, G)
+                new_tss, new_infos = [], []
+                for g in range(G):
+                    def run_g(ts, kk, _prev, g=g):
+                        if sharded:
+                            buf = jax.tree.map(lambda x: x[0], buffers[g])
+                        else:
+                            buf = buffers[g]
+                        return update_group(
+                            ts, buf, kk, discounts[g], g, local_bs,
+                            axis_name=axis,
+                        )
+
+                    def skip_g(ts, kk, prev):
+                        return ts, prev
+
+                    ts_g, info_g = jax.lax.cond(
+                        warm[g], run_g, skip_g, tss[g], kg[g], infos[g]
+                    )
+                    new_tss.append(ts_g)
+                    new_infos.append(info_g)
+                return i + 1, tuple(new_tss), k, tuple(new_infos)
+
+            _, tss, upd_key, last_info = jax.lax.while_loop(
+                upd_cond, upd_body,
+                (jnp.int32(0), tuple(carry.train_states), upd_key,
+                 tuple(carry.last_info)),
+            )
+
+            # Target sync (train.py:266-269).  Sync is idempotent, so one
+            # sync + a catch-up threshold bump covers any served jump.
+            do_sync = accrue & (timestep >= carry.next_sync)
+            tss = tuple(
+                jax.lax.cond(do_sync, sync_target, lambda t: t, ts)
+                for ts in tss
+            )
+            ticks = jnp.where(
+                do_sync, (timestep - carry.next_sync) // tgt_freq + 1, 0
+            )
+            m["n_updates"] = n_upd
+            new_carry = carry.replace(
+                ls=new_ls, buffers=buffers, train_states=tss,
+                key=upd_key[None] if sharded else upd_key,
+                timestep=timestep, train_credit=credit,
+                next_sync=carry.next_sync + ticks * tgt_freq,
+                warm=warm, last_info=last_info,
+            )
+            return new_carry, m
+
+        def round_body(carry, _, boundary):
+            def idle(c):
+                m_shapes = jax.eval_shape(lambda cc: active_round(cc)[1], c)
+                return c, jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), m_shapes
+                )
+
+            return jax.lax.cond(
+                carry.timestep < boundary, active_round, idle, carry
+            )
+
+        # The carry is split into a DONATED "hot" tuple (env LoopState +
+        # replay rings + RNG key — the multi-GB part, never internally
+        # aliased) and a non-donated "cold" tuple (train states + scalars):
+        # GroupTrainState.target_variables aliases .variables at creation and
+        # after every sync, and donating aliased buffers is a runtime error.
+        def seg(hot, cold, boundary):
+            ls, buffers, key = hot
+            train_states, last_info, timestep, credit, next_sync, warm = cold
+            carry0 = TrainCarry(
+                ls=ls, buffers=buffers, train_states=train_states, key=key,
+                timestep=timestep, train_credit=credit, next_sync=next_sync,
+                warm=warm, last_info=last_info,
+            )
+            carry, ms = jax.lax.scan(
+                partial(round_body, boundary=boundary), carry0, None,
+                length=n_rounds,
+            )
+            hot_out = (carry.ls, carry.buffers, carry.key)
+            cold_out = (
+                carry.train_states, carry.last_info, carry.timestep,
+                carry.train_credit, carry.next_sync, carry.warm,
+            )
+            return hot_out, cold_out, ms
+
+        if sharded:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P("dp")
+            ls_specs = LoopState(
+                env=spec, stored_obs=spec, stored_robot=spec, has_obs=spec,
+                pend_obs=spec, pend_act=spec, pend_has=spec,
+                key=spec, round_idx=spec,
+            )
+            hot_specs = (ls_specs, tuple(spec for _ in range(G)), spec)
+            cold_specs = (
+                tuple(P() for _ in range(G)), tuple(P() for _ in range(G)),
+                P(), P(), P(), P(),
+            )
+            seg = shard_map(
+                seg, mesh=self.mesh, in_specs=(hot_specs, cold_specs, P()),
+                out_specs=(hot_specs, cold_specs, P()), check_vma=False,
+            )
+        fn = jax.jit(seg, donate_argnums=0)
+        self._segments[cache_key] = fn
+        return fn
+
     def run(self, total_timesteps=None, log_fn=None):
+        """Segment-scanned training driver: the whole act->store->learn
+        scheduler runs on device; the host wakes once per
+        ``cfg.rounds_per_segment`` (default 16) rounds to read metrics, log,
+        and checkpoint.  Set ``cfg.host_scheduler_loop=True`` for the legacy
+        per-round host loop."""
+        if self.cfg.get("host_scheduler_loop", False):
+            return self._run_host(total_timesteps, log_fn)
+
+        import time as _time
+
+        from .loop import exploration_eps, use_gt_intention
+
+        cfg = self.cfg
+        total = total_timesteps or cfg.total_timesteps
+        learning_starts = int(round(cfg.learning_starts_frac * cfg.total_timesteps))
+        total_with_warmup = total + learning_starts
+
+        self.key, k, ku = jax.random.split(self.key, 3)
+        if self.mesh is None:
+            ls = self.loop.init(k)
+            upd_key = ku
+        else:
+            ls = self._global_init(k)
+            ls = jax.device_put(ls, jax.tree.map(lambda _: self._dp, ls))
+            upd_key = jax.random.split(ku, self.num_devices)
+
+        tgt = int(cfg.target_update_freq)
+        hot = (ls, tuple(self.buffers), upd_key)
+        cold = (
+            tuple(self.train_states),
+            self._info_nan(),
+            jnp.int32(self.timestep),
+            jnp.float32(0.0),
+            jnp.int32((self.timestep // tgt + 1) * tgt),
+            jnp.asarray(self._warm, bool),
+        )
+
+        switch_step = None
+        if self.policy.use_predicted_intention:
+            # First timestep at which train.py:230-232's gate goes False.
+            switch_step = int(np.floor(
+                learning_starts
+                + float(cfg.use_predicted_intention_frac) * cfg.total_timesteps
+            )) + 1
+
+        t_start = _time.time()
+        metrics = {}
+        trace_dir = cfg.get("profile_trace_dir")
+        seg_count = 0
+        tracing = False
+        while self.timestep < total_with_warmup:
+            use_gt = use_gt_intention(cfg, self.timestep, learning_starts)
+            boundary = total_with_warmup
+            if switch_step is not None and use_gt:
+                # Stop the segment at the curriculum switch so the static
+                # use_gt flag flips exactly where the reference flips it.
+                boundary = min(boundary, switch_step)
+            seg_fn = self._get_segment(use_gt)
+            if trace_dir and seg_count == 1 and not tracing:
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
+            hot, cold, ms = seg_fn(hot, cold, jnp.int32(boundary))
+            train_states, last_info, t_dev, _, _, warm_dev = cold
+            # Write back live references so log_fn (checkpointing, q-map
+            # visualization) reads current device state.
+            self.buffers = list(hot[1])
+            self.train_states = list(train_states)
+            ms_h, t_h, warm_h, info_h = jax.device_get(
+                (ms, t_dev, warm_dev, last_info)
+            )
+            if tracing:
+                jax.profiler.stop_trace()
+                tracing = False
+            self.timestep = int(t_h)
+            self.episode += int(ms_h["episodes"].sum())
+            self._warm = [bool(w) for w in warm_h]
+            seg_count += 1
+
+            if log_fn is not None:
+                elapsed = _time.time() - t_start
+                for g, info in enumerate(info_h):
+                    if np.isfinite(info["loss"]):
+                        metrics[f"loss/group_{g}"] = float(info["loss"])
+                        metrics[f"td_error/group_{g}"] = float(info["td_error"])
+                        if "loss_intention" in info:
+                            metrics[f"loss_intention/group_{g}"] = float(
+                                info["loss_intention"]
+                            )
+                metrics.update(
+                    timestep=self.timestep,
+                    episodes=self.episode,
+                    epsilon=exploration_eps(cfg, self.timestep, learning_starts),
+                    steps_per_sec=self.timestep / max(elapsed, 1e-9),
+                    episode_cubes=float(ms_h["episode_cubes"].sum()),
+                    episodes_this_round=int(ms_h["episodes"].sum()),
+                    updates=int(ms_h["n_updates"].sum()),
+                )
+                if "served_shard_min" in ms_h:
+                    act_rounds = ms_h["served"] > 0
+                    if act_rounds.any():
+                        metrics["served_shard_min"] = int(
+                            ms_h["served_shard_min"][act_rounds].min()
+                        )
+                log_fn(self.timestep, metrics, ms_h, None)
+        return metrics
+
+    def _run_host(self, total_timesteps=None, log_fn=None):
         import time as _time
 
         from .loop import exploration_eps, use_gt_intention
@@ -777,7 +1124,7 @@ def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
       (n, 2), ``round_idx`` shaped (n,)), laid out for ``P(axis)`` sharding.
     * ``sharded_round(ls, variables, eps) -> (ls, trans, metrics)`` — jitted.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis]
@@ -811,7 +1158,7 @@ def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
             mesh=mesh,
             in_specs=(ls_specs, P(), P()),
             out_specs=(ls_specs, spec, P()),
-            check_rep=False,
+            check_vma=False,
         ))
 
     _cache = {}

@@ -82,7 +82,7 @@ def _batch(identical_states):
 
 
 def _global_and_sharded(mesh, model, optimizer):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     glob = jax.jit(
@@ -96,7 +96,7 @@ def _global_and_sharded(mesh, model, optimizer):
 
     sharded = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(P(), P("dp")), out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     ))
     return glob, sharded
 
