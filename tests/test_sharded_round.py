@@ -127,3 +127,64 @@ def test_sharded_round_distinct_shard_rng(mesh, loop):
     shard0 = pos[:B_LOCAL]
     shard1 = pos[B_LOCAL:2 * B_LOCAL]
     assert not np.allclose(shard0, shard1)
+
+
+def test_warm_gate_shard_floor_reaches_per_shard_batch(mesh):
+    """VERDICT r3 weak #4: the warm gate keys on the MIN per-shard replay
+    fill (`served_shard_min` floor).  At the production batch ratio
+    (batch_size 32 over 8 shards => 4 transitions/shard before updates can
+    run) every shard's ring must reach the per-shard batch within a bounded
+    number of rounds — a silently starving shard would stall the gate
+    forever while the global timestep count kept growing."""
+    from spatial_intention_maps_tpu.envs.types import EnvParams
+    from spatial_intention_maps_tpu.train.fused import FusedTrainer
+    from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
+
+    n = N_DEV
+    params = EnvParams.from_robot_config(
+        [{"lifting_robot": 1}],
+        env_name="small_empty",
+        room_length=1.0,
+        room_width=0.5,
+        num_cubes=2,
+        num_pass_pairs=1,
+    )
+    cfg = ConfigDict(
+        batch_size=32,                      # -> 4 per shard, production ratio
+        learning_rate=0.01,
+        weight_decay=1e-4,
+        grad_norm_clipping=100,
+        num_input_channels=params.num_state_channels,
+        use_predicted_intention=False,
+        total_timesteps=64,
+        exploration_frac=1.0,
+        replay_buffer_size=64 * n,
+        use_double_dqn=True,
+        discount_factors=[0.75],
+        final_exploration=1.0,
+        learning_starts_frac=0.1,
+        train_freq=4,
+        target_update_freq=1000,
+        num_parallel_envs=2 * n,
+        substeps_per_round=256,
+        compute_dtype="float32",
+        fcn_layer_planes=[8, 8, 8, 8],
+        fcn_head_planes=[8, 8],
+    )
+    tr = FusedTrainer(cfg, params, num_envs=2 * n, num_devices=n)
+    ls = tr._global_init(jax.random.PRNGKey(3))
+    per_shard_batch = cfg.batch_size // n
+    for rounds in range(1, 65):
+        ls, trans, m = tr._sharded_round(ls, tr._variables(), 1.0)
+        tr._push(0, trans)
+        floor = int(jnp.min(tr.buffers[0].size))
+        if floor >= per_shard_batch:
+            break
+    else:
+        raise AssertionError(
+            "warm-gate floor never reached per-shard batch: sizes="
+            f"{np.asarray(tr.buffers[0].size)}"
+        )
+    sizes = np.asarray(tr.buffers[0].size)
+    assert sizes.min() >= per_shard_batch, sizes
+    assert rounds < 64, rounds
