@@ -12,6 +12,7 @@ batched array programs:
 """
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from ..ops import raster_ops, visibility, wavefront
+from ..ops import pallas_crop, raster_ops, visibility, wavefront
 from . import geometry
 from .types import CUBE_AVAILABLE, CUBE_LIFTED, CUBE_REMOVED, IDLE, EnvParams, EnvState
 
@@ -409,7 +410,18 @@ def build_state(params: EnvParams, state: EnvState, robot_index, sp_recep_img, s
     stacked = jnp.stack(
         [g.astype(jnp.float32) for g in glob_channels], axis=-1
     )
-    local = raster_ops.extract_local_maps_mxu(stacked, pos, heading)  # (96, 96, C)
+    # Fused Pallas crop on TPU (identical cells + bf16 rounding, see
+    # ops/pallas_crop.py); the one-hot-matmul XLA path is the fallback and
+    # the CPU-mesh test path.  SIM_TPU_PALLAS_CROP=0 is the kill switch
+    # (same contract as SIM_TPU_PALLAS_SUBSTEP).
+    env_pc = os.environ.get("SIM_TPU_PALLAS_CROP")
+    use_pallas = (
+        jax.default_backend() == "tpu" if env_pc is None else bool(int(env_pc))
+    )
+    if use_pallas and pallas_crop.supports(stacked.shape):
+        local = pallas_crop.extract_local_maps_pallas(stacked, pos, heading)
+    else:
+        local = raster_ops.extract_local_maps_mxu(stacked, pos, heading)  # (96, 96, C)
     if any(subtract_min):
         mins = jnp.min(local, axis=(0, 1), keepdims=True)
         mask = np.asarray(subtract_min)[None, None, :]

@@ -1,0 +1,120 @@
+"""Fused egocentric crop-rotate kernel (Mapper._get_local_map,
+reference envs.py:2199-2210).
+
+The XLA formulation (:func:`raster_ops.extract_local_maps_mxu`) computes the
+nearest-neighbour rotated crop as ``onehot(gi) @ G`` followed by a row-wise
+``onehot(gj)`` contraction.  That is MXU-friendly but materializes the
+intermediate ``rows`` tensor ``(P, W, C)`` — at P=96*96 output pixels this is
+~12 MB *per served env*, and at a service batch of 256 the round pays ~6 GB
+of HBM traffic for ~0.24 TFLOP of useful work: the crop is bandwidth-bound
+(measured 22.3 ms of a 103 ms round at B=1024/M=256).
+
+This kernel keeps the whole per-env global map resident in VMEM (≤ 160 KB
+bf16 at the large-room 128x128x5 shape) and contracts each P-block's one-hot
+rows immediately, so the ``(P, W, C)`` intermediate never exists in HBM:
+
+  per grid step (env m, pixel block pb):
+    oh_i  = (gi_block == iota_H)          (PB, H)  bf16   VPU
+    for c in channels:                              (unrolled, C is static)
+      rows_c = oh_i @ G[c]                (PB, W)  f32    MXU
+      out[c] = sum(rows_c * oh_j, lanes)  (PB,)    f32    VPU
+
+HBM traffic drops to G + indices + output (~0.4 MB/env), and the matmuls
+(2*P*H*W*C FLOP/env) run from VMEM.
+
+One-hot selection is exact (a single 1.0*value product per output pixel), so
+the result is bit-identical to ``extract_local_maps_mxu``'s bf16-rounded
+gather for any global-map dtype, and to the plain gather for
+bf16-representable maps.
+
+Layout notes (Mosaic):
+  * channels lead (C, H, W) so each matmul operand is a full (H, W) tile —
+    with C trailing the lane dim would be 5.
+  * gi/gj ride in as (P, 1) so the pixel index lands on the sublane dim;
+    comparing against a broadcasted lane iota builds the one-hot without
+    any relayout.
+  * output is (C, P) — P on lanes — transposed once outside (cheap in XLA).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants
+
+_BLOCK_P = 1024
+
+
+def _crop_kernel(gi_ref, gj_ref, g_ref, out_ref):
+    c, h, w = g_ref.shape
+    pb = gi_ref.shape[0]
+    oh_i = (
+        gi_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, h), 1)
+    ).astype(jnp.bfloat16)
+    oh_j = (
+        gj_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, w), 1)
+    ).astype(jnp.float32)
+    for ch in range(c):
+        rows = jnp.dot(
+            oh_i, g_ref[ch], preferred_element_type=jnp.float32
+        )  # (PB, W) f32
+        out_ref[ch, :] = jnp.sum(rows * oh_j, axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_p"))
+def _crop_call(g_chw, gi, gj, interpret=False, block_p=_BLOCK_P):
+    c, h, w = g_chw.shape
+    p = gi.shape[0]
+    grid = (p // block_p,)
+    out = pl.pallas_call(
+        _crop_kernel,
+        out_shape=jax.ShapeDtypeStruct((c, p), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+            pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+            pl.BlockSpec((c, h, w), lambda pb: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, block_p), lambda pb: (0, pb)),
+        interpret=interpret,
+    )(gi[:, None], gj[:, None], g_chw)
+    return out
+
+
+def extract_local_maps_pallas(global_maps_hwc, position, heading,
+                              interpret=False):
+    """Drop-in for :func:`raster_ops.extract_local_maps_mxu` (same nearest-
+    neighbour cells, same bf16 value rounding), vmap-compatible."""
+    from . import raster_ops
+
+    h, w, c = global_maps_hwc.shape
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    wx, wy = raster_ops.local_pixel_world_offsets(heading)
+    px = position[0] + wx
+    py = position[1] + wy
+    gi = jnp.clip(jnp.floor(h / 2 - py * ppm).astype(jnp.int32), 0, h - 1)
+    gj = jnp.clip(jnp.floor(w / 2 + px * ppm).astype(jnp.int32), 0, w - 1)
+    n = gi.shape[0]
+    p = n * n
+    block_p = _BLOCK_P if p % _BLOCK_P == 0 else _pick_block(p)
+    out = _crop_call(
+        jnp.transpose(global_maps_hwc.astype(jnp.bfloat16), (2, 0, 1)),
+        gi.reshape(p), gj.reshape(p),
+        interpret=interpret, block_p=block_p,
+    )  # (C, P)
+    return jnp.transpose(out, (1, 0)).reshape(n, n, c)
+
+
+def _pick_block(p):
+    for cand in (512, 256, 128):
+        if p % cand == 0:
+            return cand
+    return p
+
+
+def supports(global_shape) -> bool:
+    h, w, _ = global_shape
+    return w % 128 == 0 and h % 8 == 0

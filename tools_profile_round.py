@@ -101,6 +101,10 @@ def main():
     head_m = fin.robot_heading[:, 0]
     crop_fn = jax.jit(jax.vmap(raster_ops.extract_local_maps_mxu))
     timeit("  observe: crop (M)", crop_fn, stacks, pos_m, head_m)
+    if jax.default_backend() == "tpu":
+        from spatial_intention_maps_tpu.ops import pallas_crop
+        pcrop_fn = jax.jit(jax.vmap(pallas_crop.extract_local_maps_pallas))
+        timeit("  observe: crop pallas (M)", pcrop_fn, stacks, pos_m, head_m)
 
     # The planner exactly as the fused round runs it (fused.py:283-326):
     # batched target-seeded Pallas sweep + backtrace + MXU string pulling,
@@ -137,6 +141,39 @@ def main():
 
     plan_fn = jax.jit(plan)
     (plan_dist, plan_wps), _ = timeit("plan sweep+trace (M)", plan_fn, fin, actions, percep)
+
+    # plan sub-phases: seeded sweep / greedy backtrace / LOS string pulling
+    def plan_seed(sub, actions, percep):
+        _, _, _, _, _, tee = jax.vmap(
+            lambda s, a: env_core.compute_action_target(params, s, a)
+        )(sub, actions)
+        menv = jnp.arange(m)
+        robot = jnp.argmax(sub.awaiting, axis=1)
+        cs_act = percep["cspaces"][menv, robot]
+        snap_act = percep["snaps"][menv, robot]
+        ti, tj = env_core.geometry.position_to_pixel(tee[:, 0], tee[:, 1], h_px, w_px)
+        flat = snap_act[menv, ti, tj]
+        ti, tj = flat // w_px, flat % w_px
+        free_b = cs_act.at[menv, ti, tj].set(True)
+        dist0 = jnp.full((m, h_px, w_px), 1e9, jnp.float32)
+        dist0 = dist0.at[menv, ti, tj].set(0.0)
+        pay0 = jnp.zeros((m, h_px, w_px), jnp.int32)
+        rpos = sub.robot_pos[menv, robot]
+        si, sj = env_core.geometry.position_to_pixel(rpos[:, 0], rpos[:, 1], h_px, w_px)
+        sflat = snap_act[menv, si, sj]
+        src = jnp.stack([sflat // w_px, sflat % w_px], axis=-1)
+        return dist0, pay0, free_b, cs_act, src
+
+    seed_fn = jax.jit(plan_seed)
+    (dist0, pay0, free_b, cs_act, src), _ = timeit(
+        "  plan: seed (M)", seed_fn, fin, actions, percep)
+    sweep_fn = jax.jit(lambda d, p, f: env_core.wavefront.sweep_batched(
+        d, p, f, params.num_pass_pairs))
+    (plan_dist2, _pay), _ = timeit("  plan: sweep (M)", sweep_fn, dist0, pay0, free_b)
+    bt_fn = jax.jit(jax.vmap(env_core.paths.backtrace))
+    (path_b, plen_b), _ = timeit("  plan: backtrace (M)", bt_fn, plan_dist2, src)
+    sp_fn = jax.jit(env_core.paths.simplify_path_batched)
+    timeit("  plan: string-pull (M)", sp_fn, cs_act, path_b, plen_b)
 
     inj_fn = jax.jit(jax.vmap(
         lambda s, a, p, pd, w_, n_: env_core.inject_action(
