@@ -64,11 +64,51 @@ def _crop_kernel(gi_ref, gj_ref, g_ref, out_ref):
         out_ref[ch, :] = jnp.sum(rows * oh_j, axis=1)
 
 
-@partial(jax.jit, static_argnames=("interpret", "block_p"))
-def _crop_call(g_chw, gi, gj, interpret=False, block_p=_BLOCK_P):
+def _crop_kernel_matvec(gi_ref, gj_ref, g_ref, out_ref):
+    """Variant: the j-contraction rides the MXU as (PB, W) @ (W, C-slots)
+    instead of a cross-lane VPU reduce (Mosaic lowers ``sum(axis=1)`` to a
+    log2(W) shuffle chain per block-channel, which profiling showed
+    dominated the original kernel: 27.5 ms vs the 22.1 ms XLA path at
+    B=1024/M=256).  Each channel's masked rows land in their own output
+    column of one (PB, C) block, written once."""
+    c, h, w = g_ref.shape
+    pb = gi_ref.shape[0]
+    oh_i = (
+        gi_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, h), 1)
+    ).astype(jnp.bfloat16)
+    oh_j = (
+        gj_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, w), 1)
+    ).astype(jnp.bfloat16)
+    ones = jnp.ones((w, 1), jnp.bfloat16)
+    cols = []
+    for ch in range(c):
+        rows = jnp.dot(oh_i, g_ref[ch], preferred_element_type=jnp.bfloat16)
+        cols.append(
+            jnp.dot(rows * oh_j, ones, preferred_element_type=jnp.float32)
+        )  # (PB, 1) f32
+    out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_p", "variant"))
+def _crop_call(g_chw, gi, gj, interpret=False, block_p=_BLOCK_P,
+               variant="matvec"):
     c, h, w = g_chw.shape
     p = gi.shape[0]
     grid = (p // block_p,)
+    if variant == "matvec":
+        out = pl.pallas_call(
+            _crop_kernel_matvec,
+            out_shape=jax.ShapeDtypeStruct((p, c), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+                pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+                pl.BlockSpec((c, h, w), lambda pb: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_p, c), lambda pb: (pb, 0)),
+            interpret=interpret,
+        )(gi[:, None], gj[:, None], g_chw)
+        return jnp.transpose(out, (1, 0))  # (C, P)
     out = pl.pallas_call(
         _crop_kernel,
         out_shape=jax.ShapeDtypeStruct((c, p), jnp.float32),
@@ -85,11 +125,15 @@ def _crop_call(g_chw, gi, gj, interpret=False, block_p=_BLOCK_P):
 
 
 def extract_local_maps_pallas(global_maps_hwc, position, heading,
-                              interpret=False):
+                              interpret=False, variant=None):
     """Drop-in for :func:`raster_ops.extract_local_maps_mxu` (same nearest-
     neighbour cells, same bf16 value rounding), vmap-compatible."""
+    import os
+
     from . import raster_ops
 
+    if variant is None:
+        variant = os.environ.get("SIM_TPU_PALLAS_CROP_VARIANT", "matvec")
     h, w, c = global_maps_hwc.shape
     ppm = constants.LOCAL_MAP_PIXELS_PER_METER
     wx, wy = raster_ops.local_pixel_world_offsets(heading)
@@ -103,7 +147,7 @@ def extract_local_maps_pallas(global_maps_hwc, position, heading,
     out = _crop_call(
         jnp.transpose(global_maps_hwc.astype(jnp.bfloat16), (2, 0, 1)),
         gi.reshape(p), gj.reshape(p),
-        interpret=interpret, block_p=block_p,
+        interpret=interpret, block_p=block_p, variant=variant,
     )  # (C, P)
     return jnp.transpose(out, (1, 0)).reshape(n, n, c)
 

@@ -22,28 +22,49 @@ _NEIGH = jnp.array(
     [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
     jnp.int32,
 )
+_NEIGH_LIST = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+               (1, 1)]
+# Row 8 = "stay" (no strictly-better neighbor).
+_NEIGH9 = jnp.array(_NEIGH_LIST + [(0, 0)], jnp.int32)
 
 
 _DESCENT_UNROLL = 4
 
 
+def parent_dir_image(dist_img):
+    """Per-cell steepest-descent direction (0-7 into ``_NEIGH``, 8 = stay).
+
+    Computed with eight edge-padded shifts of the whole image — no gathers —
+    so the per-step walk in :func:`backtrace` needs only ONE gather (the
+    direction at the current cell) instead of eight neighbor-distance
+    gathers plus an argmin.  Neighbor order and argmin first-wins
+    tie-breaking match the original gather formulation exactly, as does the
+    coordinate clipping (edge padding reads the clipped cell)."""
+    h, w = dist_img.shape
+    pad = jnp.pad(dist_img, 1, mode="edge")
+    nd = jnp.stack(
+        [pad[1 + di:1 + di + h, 1 + dj:1 + dj + w] for di, dj in _NEIGH_LIST]
+    )  # (8, H, W)
+    k = jnp.argmin(nd, axis=0)
+    best = jnp.min(nd, axis=0)
+    return jnp.where(best < dist_img, k, 8).astype(jnp.int32)
+
+
 def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
     """Greedy steepest descent on a distance image from start to the seed.
 
-    Returns (path (num_steps, 2) int32, path_len).  Once the seed (dist==0) is
-    reached the position repeats, so path[path_len-1] is the seed cell.
-    Several descent steps are unrolled per scan iteration to cut the
-    sequential scan depth.
-    """
+    Returns (path (num_steps, 2) int32, path_len).  Once the seed (dist==0)
+    is reached the position repeats, so path[path_len-1] is the seed cell.
+    The descent directions are precomputed as a parent-direction image
+    (:func:`parent_dir_image`); each walk step is a single 1-element gather.
+    Several steps are unrolled per loop iteration to cut sequential depth."""
     h, w = dist_img.shape
+    dirs = parent_dir_image(dist_img)
+    hi = jnp.array([h - 1, w - 1], jnp.int32)
 
     def descend(cur):
-        ni = jnp.clip(cur[0] + _NEIGH[:, 0], 0, h - 1)
-        nj = jnp.clip(cur[1] + _NEIGH[:, 1], 0, w - 1)
-        nd = dist_img[ni, nj]
-        k = jnp.argmin(nd)
-        better = nd[k] < dist_img[cur[0], cur[1]]
-        return jnp.where(better, jnp.stack([ni[k], nj[k]]), cur)
+        d = dirs[cur[0], cur[1]]
+        return jnp.clip(cur + _NEIGH9[d], 0, hi)
 
     start = jnp.asarray(start_ij, jnp.int32)
     n_iters = (num_steps - 1 + _DESCENT_UNROLL - 1) // _DESCENT_UNROLL
@@ -204,9 +225,20 @@ def simplify_path_batched(
 
     idxs = jnp.arange(n_sub, dtype=jnp.int32)
     n_chunks = max(1, m // env_chunk) if m % env_chunk == 0 else 1
+    n_its = max_waypoints - 1
 
-    def body(carry, _):
-        a_idx, done = carry                                   # (M,), (M,)
+    # Early-exit while loop: each iteration pays the full M x S x L one-hot
+    # LOS matmul (~2 GFLOP/env at the flagship shapes), but most service
+    # batches converge in 2-4 waypoints — the fixed-length scan burned all
+    # max_waypoints-1 iterations regardless.  Iterations after a lane's
+    # `done` would emit (pts[a_idx], False) forever; the post-loop fill
+    # reproduces exactly that, so the output is bit-identical to the scan.
+    def cond(carry):
+        k, _a, done, _w, _v = carry
+        return (k < n_its) & ~jnp.all(done)
+
+    def body(carry):
+        k, a_idx, done, wps, valid = carry
         anchor = pts[menv, a_idx]                             # (M, 2)
         if n_chunks > 1:
             vis = jax.lax.map(
@@ -224,10 +256,24 @@ def simplify_path_batched(
         nxt = jnp.where(nxt < 0, jnp.minimum(a_idx + 1, n_sub - 1), nxt)
         nxt = jnp.where(done, a_idx, nxt)
         new_done = done | (sub_idx[menv, nxt] >= last)
-        return (nxt, new_done), (pts[menv, nxt], ~done)
+        wps = jax.lax.dynamic_update_slice(
+            wps, pts[menv, nxt][None], (k, 0, 0)
+        )
+        valid = jax.lax.dynamic_update_slice(
+            valid, (~done)[None], (k, 0)
+        )
+        return k + 1, nxt, new_done, wps, valid
 
-    init = (jnp.zeros(m, jnp.int32), jnp.zeros(m, bool))
-    (_, _), (wps, valid) = jax.lax.scan(body, init, None, length=max_waypoints - 1)
+    init = (
+        jnp.int32(0), jnp.zeros(m, jnp.int32), jnp.zeros(m, bool),
+        jnp.zeros((n_its, m, 2), jnp.float32), jnp.zeros((n_its, m), bool),
+    )
+    k_end, a_end, _, wps, valid = jax.lax.while_loop(cond, body, init)
+    # Fill iterations the early exit skipped with what the scan would have
+    # emitted: every lane was done, so (pts[a_idx_frozen], valid=False).
+    tail = jnp.arange(n_its)[:, None] >= k_end                # (K-1, M)
+    frozen = pts[menv, a_end]                                 # (M, 2)
+    wps = jnp.where(tail[..., None], frozen[None], wps)
     wps = jnp.moveaxis(wps, 0, 1)                             # (M, K-1, 2)
     valid = jnp.moveaxis(valid, 0, 1)                         # (M, K-1)
     waypoints = jnp.concatenate([pts[:, :1], wps], axis=1)    # (M, K, 2)

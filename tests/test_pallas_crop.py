@@ -16,8 +16,9 @@ from spatial_intention_maps_tpu.ops import pallas_crop, raster_ops
 INTERPRET = jax.default_backend() != "tpu"
 
 
+@pytest.mark.parametrize("variant", ["reduce", "matvec"])
 @pytest.mark.parametrize("hw", [(80, 128), (128, 128)])
-def test_crop_matches_mxu_path(hw):
+def test_crop_matches_mxu_path(hw, variant):
     h, w = hw
     c = 5
     rng = np.random.RandomState(0)
@@ -26,7 +27,7 @@ def test_crop_matches_mxu_path(hw):
     heading = jnp.asarray(2.1, jnp.float32)
     ref = raster_ops.extract_local_maps_mxu(g, pos, heading)
     out = pallas_crop.extract_local_maps_pallas(
-        g, pos, heading, interpret=INTERPRET
+        g, pos, heading, interpret=INTERPRET, variant=variant
     )
     assert out.shape == ref.shape == (96, 96, c)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

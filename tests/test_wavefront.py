@@ -190,3 +190,52 @@ def test_simplify_path_batched_matches_vmapped():
             np.asarray(wps_ref[: int(n_ref)]),
             err_msg=f"env {e}",
         )
+
+
+def test_backtrace_matches_gather_formulation():
+    """The parent-direction-image backtrace (one gather per walk step) must
+    reproduce the original 8-neighbor-gather steepest descent exactly —
+    same neighbor order, same argmin first-wins tie-breaking, same edge
+    clipping — on structured and on adversarial (tie-heavy) dist images."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatial_intention_maps_tpu import constants
+    from spatial_intention_maps_tpu.ops import paths, wavefront
+
+    neigh = np.array(
+        [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    )
+
+    def backtrace_gather(dist_img, start, num_steps):
+        # the original formulation, kept here as the regression oracle
+        dist = np.asarray(dist_img)
+        h, w = dist.shape
+        cur = np.array(start)
+        path = [tuple(cur)]
+        for _ in range(num_steps - 1):
+            ni = np.clip(cur[0] + neigh[:, 0], 0, h - 1)
+            nj = np.clip(cur[1] + neigh[:, 1], 0, w - 1)
+            nd = dist[ni, nj]
+            k = int(np.argmin(nd))
+            if not nd[k] < dist[cur[0], cur[1]]:
+                break
+            cur = np.array([ni[k], nj[k]])
+            path.append(tuple(cur))
+        return path
+
+    rng = np.random.RandomState(3)
+    cases = []
+    free = np.ones((40, 48), bool)
+    free[20, 4:44] = False
+    dist = wavefront.distance_image(jnp.asarray(free), 34, 24, 4)
+    cases.append((dist, (4, 24)))
+    # tie-heavy integer plateaus exercise argmin tie-breaking
+    cases.append((jnp.asarray(rng.randint(0, 6, (32, 32)).astype(np.float32)),
+                  (30, 1)))
+    for dist, start in cases:
+        path, plen = paths.backtrace(dist, jnp.array(start))
+        ref = backtrace_gather(dist, start, constants.BACKTRACE_MAX_STEPS)
+        n = int(plen)
+        assert n == len(ref)
+        np.testing.assert_array_equal(np.asarray(path[:n]), np.array(ref))

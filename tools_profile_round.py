@@ -103,8 +103,13 @@ def main():
     timeit("  observe: crop (M)", crop_fn, stacks, pos_m, head_m)
     if jax.default_backend() == "tpu":
         from spatial_intention_maps_tpu.ops import pallas_crop
-        pcrop_fn = jax.jit(jax.vmap(pallas_crop.extract_local_maps_pallas))
-        timeit("  observe: crop pallas (M)", pcrop_fn, stacks, pos_m, head_m)
+        for variant in ("reduce", "matvec"):
+            pcrop_fn = jax.jit(jax.vmap(
+                lambda g, p, h, v=variant:
+                pallas_crop.extract_local_maps_pallas(g, p, h, variant=v)
+            ))
+            timeit(f"  observe: crop pallas/{variant} (M)",
+                   pcrop_fn, stacks, pos_m, head_m)
 
     # The planner exactly as the fused round runs it (fused.py:283-326):
     # batched target-seeded Pallas sweep + backtrace + MXU string pulling,
