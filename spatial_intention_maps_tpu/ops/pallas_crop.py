@@ -78,13 +78,18 @@ def _crop_kernel_matvec(gi_ref, gj_ref, g_ref, out_ref):
     ).astype(jnp.bfloat16)
     oh_j = (
         gj_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, w), 1)
-    ).astype(jnp.bfloat16)
+    ).astype(jnp.float32)
     ones = jnp.ones((w, 1), jnp.bfloat16)
     cols = []
     for ch in range(c):
-        rows = jnp.dot(oh_i, g_ref[ch], preferred_element_type=jnp.bfloat16)
+        # Mosaic requires a 32-bit matmul accumulator; the row value is a
+        # single bf16 cell either way, so f32 accumulation stays exact.
+        rows = jnp.dot(oh_i, g_ref[ch], preferred_element_type=jnp.float32)
         cols.append(
-            jnp.dot(rows * oh_j, ones, preferred_element_type=jnp.float32)
+            jnp.dot(
+                (rows * oh_j).astype(jnp.bfloat16), ones,
+                preferred_element_type=jnp.float32,
+            )
         )  # (PB, 1) f32
     out_ref[...] = jnp.concatenate(cols, axis=1)
 
@@ -133,7 +138,9 @@ def extract_local_maps_pallas(global_maps_hwc, position, heading,
     from . import raster_ops
 
     if variant is None:
-        variant = os.environ.get("SIM_TPU_PALLAS_CROP_VARIANT", "matvec")
+        # "reduce" is the TPU-verified default; flip to "matvec" only on
+        # measured evidence (tools_profile_round times both variants).
+        variant = os.environ.get("SIM_TPU_PALLAS_CROP_VARIANT", "reduce")
     h, w, c = global_maps_hwc.shape
     ppm = constants.LOCAL_MAP_PIXELS_PER_METER
     wx, wy = raster_ops.local_pixel_world_offsets(heading)
