@@ -138,9 +138,9 @@ def extract_local_maps_pallas(global_maps_hwc, position, heading,
     from . import raster_ops
 
     if variant is None:
-        # "reduce" is the TPU-verified default; flip to "matvec" only on
-        # measured evidence (tools_profile_round times both variants).
-        variant = os.environ.get("SIM_TPU_PALLAS_CROP_VARIANT", "reduce")
+        # Profiled on the chip at B=1024/M=256: matvec 14.09 ms vs
+        # reduce 26.35 ms vs the XLA one-hot path 22.18 ms.
+        variant = os.environ.get("SIM_TPU_PALLAS_CROP_VARIANT", "matvec")
     h, w, c = global_maps_hwc.shape
     ppm = constants.LOCAL_MAP_PIXELS_PER_METER
     wx, wy = raster_ops.local_pixel_world_offsets(heading)
