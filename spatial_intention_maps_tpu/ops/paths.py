@@ -28,7 +28,7 @@ _NEIGH_LIST = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
 _NEIGH9 = jnp.array(_NEIGH_LIST + [(0, 0)], jnp.int32)
 
 
-_DESCENT_UNROLL = 4
+_DESCENT_UNROLL = 8
 
 
 def parent_dir_image(dist_img):
@@ -64,7 +64,12 @@ def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
 
     def descend(cur):
         d = dirs[cur[0], cur[1]]
-        return jnp.clip(cur + _NEIGH9[d], 0, hi)
+        # Decode (di, dj) arithmetically instead of a table gather: remap
+        # the 8-neighbor index (center skipped) onto the 3x3 grid, with the
+        # "stay" code 8 landing on the center cell.
+        k2 = jnp.where(d == 8, 4, jnp.where(d < 4, d, d + 1))
+        delta = jnp.stack([k2 // 3 - 1, k2 % 3 - 1])
+        return jnp.clip(cur + delta, 0, hi)
 
     start = jnp.asarray(start_ij, jnp.int32)
     n_iters = (num_steps - 1 + _DESCENT_UNROLL - 1) // _DESCENT_UNROLL
