@@ -1,32 +1,23 @@
 #!/bin/bash
-# Post-run pipeline for the lifting_2_pushing_2-large_empty-ours training run:
-# copy the final policy into pretrained/, run the 20-episode seed-0 eval, and
-# regenerate the summary curves.  Run AFTER train.py has exited (one JAX
-# process at a time on this host).
+# Finish/continue pipeline for the lifting_2_pushing_2-large_empty-ours run.
+#
+# The round-4 session trained this config to a partial checkpoint (committed
+# under pretrained/..._partial_<STEP>/ with its metrics.jsonl + config.yml).
+# To CONTINUE training to the full 240k+6k budget, restore the partial into a
+# fresh run (config.yml's policy_path/checkpoint_path already point at it):
+#
+#   python train.py --config-path pretrained/<partial_dir>/config.yml \
+#       --checkpoint-freq 8000
+#
+# (setup_run re-stamps a new run; load_policy/load_checkpoint restore nets,
+# optimizer state, and the timestep so the epsilon/curriculum schedules
+# resume where they left off.  Replay refills from live rollouts — buffer
+# checkpoints are opt-in, matching the reference's policy-only resume.)
+#
+# To EVAL a policy dir (20 episodes @ seed 0) and refresh the curves:
+#   bash tools_finish_mixed_run.sh pretrained/<dir>/config.yml
 set -eu
 cd "$(dirname "$0")"
-RUN=20260819T221242099957-lifting_2_pushing_2-large_empty-ours
-CKPT_DIR=checkpoints/$RUN
-FINAL=$(ls "$CKPT_DIR" | grep '^policy_' | sort | tail -1)
-STEP=${FINAL#policy_}
-DEST=pretrained/lifting_2_pushing_2-large_empty-ours_policy_$STEP
-echo "final policy: $FINAL -> $DEST"
-rm -rf "$DEST"
-cp -r "$CKPT_DIR/$FINAL" "$DEST"
-cp "logs/$RUN/metrics.jsonl" "$DEST/metrics.jsonl"
-# Point the run config at the FINAL policy (train.py's end-of-run save does
-# not rewrite config.yml; the last log_fn save does, one segment earlier).
-python - "$RUN" "$CKPT_DIR/$FINAL" <<'EOF'
-import sys
-from spatial_intention_maps_tpu import config as config_mod
-run, final = sys.argv[1], sys.argv[2]
-path = f"logs/{run}/config.yml"
-cfg = config_mod.load_config(path)
-cfg.policy_path = final
-cfg.checkpoint_path = final.replace("policy_", "checkpoint_")
-config_mod.save_config(path, cfg)
-print("policy_path ->", cfg.policy_path)
-EOF
-cp "logs/$RUN/config.yml" "$DEST/config.yml"
-timeout 2400 python evaluate.py --config-path "logs/$RUN/config.yml" --fused --num-episodes 20
+CFG=${1:?usage: tools_finish_mixed_run.sh <config.yml>}
+timeout 2400 python evaluate.py --config-path "$CFG" --fused --num-episodes 20
 python eval_summary.py --plot eval/curves_r04.png || python eval_summary.py
