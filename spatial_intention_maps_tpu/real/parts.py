@@ -27,7 +27,10 @@ MM = 1000.0  # constants.py is in meters
 
 CUBE_MM = constants.CUBE_WIDTH * MM                 # 44
 BLADE_WIDTH_MM = 2 * constants.ROBOT_HALF_WIDTH * MM  # 60 (pushing blade span)
-WALL_MM = constants.WALL_HEIGHT * MM                # 100 (room wall height)
+# Shells that only adjoin are extended into each other by this much so the
+# union strategy ("slicers union overlapping closed shells") actually holds;
+# coincident-face shells are non-manifold and slicer-dependent.
+OVERLAP_MM = 0.1
 
 
 # ---------------------------------------------------------------------------
@@ -43,7 +46,13 @@ def _normal(a, b, c):
 
 
 def box(x0, y0, z0, x1, y1, z1):
-    """Closed axis-aligned box shell as 12 outward-facing triangles."""
+    """Closed axis-aligned box shell as 12 outward-facing triangles.
+
+    Bounds are normalized per axis so argument order can never produce an
+    inverted (inward-facing) shell, which slicers treat as a void."""
+    x0, x1 = min(x0, x1), max(x0, x1)
+    y0, y1 = min(y0, y1), max(y0, y1)
+    z0, z1 = min(z0, z1), max(z0, z1)
     v = [(x, y, z) for x in (x0, x1) for y in (y0, y1) for z in (z0, z1)]
     # indices: bit2=x, bit1=y, bit0=z
     quads = [
@@ -103,7 +112,7 @@ def part_cube():
     Printed as a closed cube; ArUco marker sheets from real/markers.py glue
     onto the faces (marker ids 10-33)."""
     h = CUBE_MM / 2
-    return box(-h, -h, 0, h, h, CUBE_MM)
+    return [box(-h, -h, 0, h, h, CUBE_MM)]
 
 
 def part_pushing_attachment():
@@ -112,10 +121,11 @@ def part_pushing_attachment():
     segment in envs/dynamics.py), 5 mm thick, 30 mm tall, with a mounting
     foot that clips over the Vector's bumper."""
     w = BLADE_WIDTH_MM / 2
-    tris = box(-w, -2.5, 0, w, 2.5, 30)          # blade
-    tris += box(-10, -2.5, 0, 10, -12.5, 4)      # foot plate toward robot
-    tris += box(-10, -12.5, 0, 10, -10.5, 10)    # clip lip
-    return tris
+    return [
+        box(-w, -2.5, 0, w, 2.5, 30),                     # blade
+        box(-10, -12.5, 0, 10, -2.5 + OVERLAP_MM, 4),     # foot plate toward robot
+        box(-10, -12.5, 0, 10, -10.5, 10),                # clip lip
+    ]
 
 
 def part_lifting_attachment():
@@ -123,10 +133,11 @@ def part_lifting_attachment():
     stl/lifting-attachment.stl, 15 x 41 x 9 mm envelope): a back bar that
     bolts to Vector's lift arm plus two forward prongs; the prong gap is
     sized so a CUBE_WIDTH cube seats between neighboring robots' hooks."""
-    tris = box(-7, -20.5, 0, -4, 20.5, 9)        # back bar (3 mm)
-    tris += box(-4, -20.5, 0, 8, -16.5, 9)       # left prong
-    tris += box(-4, 16.5, 0, 8, 20.5, 9)         # right prong
-    return tris
+    return [
+        box(-7, -20.5, 0, -4, 20.5, 9),                   # back bar (3 mm)
+        box(-4 - OVERLAP_MM, -20.5, 0, 8, -16.5, 9),      # left prong
+        box(-4 - OVERLAP_MM, 16.5, 0, 8, 20.5, 9),        # right prong
+    ]
 
 
 def part_throwing_attachment():
@@ -134,11 +145,12 @@ def part_throwing_attachment():
     33 x 50 x 44 mm envelope): floor + back wall + two side walls; the cube
     rests on the floor and leaves over the back wall when the lift flicks
     (sim counterpart: the ballistic throw in envs/dynamics.py)."""
-    tris = box(-17, -25, 0, 16, 25, 3)           # floor
-    tris += box(-17, -25, 0, 16, -21, 43.7)      # back wall (toward robot)
-    tris += box(-17, -25, 0, -14, 25, 20)        # left wall
-    tris += box(13, -25, 0, 16, 25, 20)          # right wall
-    return tris
+    return [
+        box(-17, -25, 0, 16, 25, 3),                      # floor
+        box(-17, -25, 0, 16, -21, 43.7),                  # back wall (toward robot)
+        box(-17, -25, 0, -14, 25, 20),                    # left wall
+        box(13, -25, 0, 16, 25, 20),                      # right wall
+    ]
 
 
 def part_rounded_corner(radius=50.0, height=CUBE_MM, samples=12):
@@ -156,28 +168,35 @@ def part_rounded_corner(radius=50.0, height=CUBE_MM, samples=12):
         )
     ]
     poly = [(0.0, 0.0)] + arc
-    return extrude(poly, 0, height)
+    return [extrude(poly, 0, height)]
 
 
 def part_wall_support(height=CUBE_MM):
     """L-bracket that holds the foam walls upright (reference
     stl/wall-support.stl, 13 x 44 x 44 mm envelope): vertical plate against
-    the wall + base foot on the table."""
-    tris = box(-20, -20, 0, -16, 24, height)     # vertical plate
-    tris += box(-16, -20, 0, -7, 24, 4)          # base foot
-    return tris
+    the wall + base foot on the table.  Height is CUBE_MM (44), matching the
+    reference part's envelope — the bracket braces the wall's base, it does
+    not span the full 100 mm WALL_HEIGHT."""
+    return [
+        box(-20, -20, 0, -16, 24, height),                # vertical plate
+        box(-16 - OVERLAP_MM, -20, 0, -7, 24, 4),         # base foot
+    ]
 
 
 def part_board_corner(height=70.0):
     """Corner post that registers the ArUco board on the table (reference
     stl/board-corner.stl, 48 x 48 x 70 mm): two walls meeting at a right
     angle with a base plate; the board corner slots into the inside angle."""
-    tris = box(-24, -24, 0, 24, -18, height)     # wall along x
-    tris += box(-24, -24, 0, -18, 24, height)    # wall along y
-    tris += box(-24, -24, 0, 24, 24, 4)          # base plate
-    return tris
+    return [
+        box(-24, -24, 0, 24, -18, height),                # wall along x
+        box(-24, -24, 0, -18, 24, height),                # wall along y
+        box(-24, -24, 0, 24, 24, 4),                      # base plate
+    ]
 
 
+# Each part function returns a LIST of closed shells (so tests can validate
+# orientation per shell, not just in aggregate — an inverted sub-shell must
+# not hide behind a larger one).
 PARTS = {
     "cube": part_cube,
     "pushing-attachment": part_pushing_attachment,
@@ -195,7 +214,7 @@ def generate_all(out_dir):
     paths = []
     for name, fn in PARTS.items():
         path = out_dir / f"{name}.stl"
-        write_stl(path, fn())
+        write_stl(path, [t for shell in fn() for t in shell])
         paths.append(path)
     return paths
 

@@ -52,29 +52,60 @@ ENVELOPES = {
 }
 
 
+def flatten(shells):
+    return [t for shell in shells for t in shell]
+
+
 @pytest.mark.parametrize("name", sorted(parts.PARTS))
 def test_part_is_closed_and_oriented(name, tmp_path):
+    shells = parts.PARTS[name]()
     path = tmp_path / f"{name}.stl"
-    parts.write_stl(path, parts.PARTS[name]())
+    parts.write_stl(path, flatten(shells))
     tris = read_stl(path)
     assert len(tris) >= 12
 
-    # Union of closed shells: every directed edge is matched by its reverse.
-    edges = Counter()
-    for a, b, c in tris:
-        for u, v in ((a, b), (b, c), (c, a)):
-            edges[(u, v)] += 1
-    for (u, v), k in edges.items():
-        assert edges[(v, u)] == k, f"{name}: unmatched edge {u}->{v}"
+    # EVERY shell individually closed and outward-oriented — validating only
+    # the total signed volume let an inverted sub-shell (a slicer void) hide
+    # behind larger shells (round-4 pushing-attachment foot bug).
+    for i, shell in enumerate(shells):
+        edges = Counter()
+        for a, b, c in shell:
+            for u, v in ((a, b), (b, c), (c, a)):
+                edges[(u, v)] += 1
+        for (u, v), k in edges.items():
+            assert edges[(v, u)] == k, f"{name} shell {i}: unmatched edge {u}->{v}"
+        assert signed_volume(shell) > 0, f"{name} shell {i} is inverted"
 
-    # Outward orientation: positive enclosed volume.
+    # The union strategy requires adjoining shells to genuinely overlap
+    # (coincident faces are non-manifold): every shell must overlap at least
+    # one other shell with positive volume on all three axes.
+    def bbox(shell):
+        pts = [p for t in shell for p in t]
+        return tuple(
+            (min(p[i] for p in pts), max(p[i] for p in pts)) for i in range(3)
+        )
+
+    if len(shells) > 1:
+        boxes = [bbox(s) for s in shells]
+        for i, bi in enumerate(boxes):
+            overlaps = any(
+                all(
+                    min(bi[k][1], bj[k][1]) - max(bi[k][0], bj[k][0]) > 1e-6
+                    for k in range(3)
+                )
+                for j, bj in enumerate(boxes)
+                if j != i
+            )
+            assert overlaps, f"{name} shell {i} only touches its neighbors"
+
+    # Aggregate orientation on the round-tripped STL too.
     assert signed_volume(tris) > 0, name
 
 
 @pytest.mark.parametrize("name", sorted(parts.PARTS))
 def test_part_envelope(name, tmp_path):
     path = tmp_path / f"{name}.stl"
-    parts.write_stl(path, parts.PARTS[name]())
+    parts.write_stl(path, flatten(parts.PARTS[name]()))
     tris = read_stl(path)
     pts = [p for t in tris for p in t]
     dims = tuple(
@@ -88,7 +119,7 @@ def test_part_envelope(name, tmp_path):
 def test_cube_matches_sim_constant():
     from spatial_intention_maps_tpu import constants
 
-    tris = parts.part_cube()
+    tris = flatten(parts.part_cube())
     zs = [p[2] for t in tris for p in t]
     assert max(zs) - min(zs) == pytest.approx(constants.CUBE_WIDTH * 1000)
 
