@@ -27,6 +27,8 @@ from spatial_intention_maps_tpu.utils.checkpoint import (
 )
 from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
 
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
+
 
 def tiny_cfg(params):
     return ConfigDict(

@@ -60,6 +60,7 @@ def test_fused_loop_serves_and_tracks(loop):
     assert idle_any.shape == (4,)
 
 
+@pytest.mark.slow
 def test_run_eval_fused_completes_episodes(tmp_path):
     """The fused eval driver (evaluate.run_eval_fused) rolls per-env
     episodes to task-rule termination and records monotone

@@ -23,6 +23,8 @@ from spatial_intention_maps_tpu.envs.vector_env import BatchedEnv
 from spatial_intention_maps_tpu.policies import action_space_size
 from spatial_intention_maps_tpu.train.fused import FusedLoop
 
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
+
 B = 2
 SPACE = action_space_size(2)
 _W = None

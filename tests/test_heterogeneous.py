@@ -16,6 +16,8 @@ from spatial_intention_maps_tpu.envs.types import EnvParams
 from spatial_intention_maps_tpu.train.fused import FusedTrainer
 from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
 
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def het_trained():

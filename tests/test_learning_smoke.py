@@ -8,6 +8,7 @@ loss must decrease and the greedy Q-argmax must move toward the
 demonstrated actions.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,8 @@ from spatial_intention_maps_tpu.models import FCN
 from spatial_intention_maps_tpu.oracle import oracle_action
 from spatial_intention_maps_tpu.replay import ReplayBuffer
 from spatial_intention_maps_tpu.train import dqn
+
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
 
 
 def test_oracle_transitions_drive_loss_down():

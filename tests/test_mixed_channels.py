@@ -19,6 +19,8 @@ from spatial_intention_maps_tpu.policies import action_space_size
 from spatial_intention_maps_tpu.train.fused import FusedTrainer
 from spatial_intention_maps_tpu.utils.config_dict import ConfigDict
 
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def mixed_trained():

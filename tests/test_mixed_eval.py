@@ -8,11 +8,14 @@ heads of DIFFERENT widths and the greedy eval rollout
 exactly the path the lifting_2_pushing_2 20-episode eval uses.
 """
 
+import pytest
 import sys
 from pathlib import Path
 
 import jax
 import numpy as np
+
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

@@ -6,12 +6,15 @@ proving the env + reward + scoring plumbing admits a winning policy.
 Mirrors a human playing the reference's click GUI (tools_simple_gui.py).
 """
 
+import pytest
 import jax
 import numpy as np
 
 from spatial_intention_maps_tpu.envs import env as E
 from spatial_intention_maps_tpu.envs.types import EnvParams
 from spatial_intention_maps_tpu.oracle import run_oracle_episode
+
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
 
 
 def test_oracle_gathers_all_cubes_small_empty():

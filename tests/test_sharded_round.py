@@ -17,6 +17,8 @@ import pytest
 from spatial_intention_maps_tpu.envs.types import EnvParams
 from spatial_intention_maps_tpu.train import fused as fused_mod
 
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
+
 N_DEV = 8
 B_LOCAL = 2
 

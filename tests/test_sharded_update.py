@@ -26,6 +26,8 @@ import pytest
 from spatial_intention_maps_tpu.models import FCN
 from spatial_intention_maps_tpu.train import dqn
 
+pytestmark = pytest.mark.slow  # end-to-end loop: minutes on the CPU mesh
+
 N_DEV = 8
 B = 16  # global batch; 2 per shard
 
