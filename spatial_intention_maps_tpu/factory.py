@@ -18,9 +18,19 @@ def env_params_from_cfg(cfg, **overrides) -> EnvParams:
     return EnvParams.from_robot_config(robot_config, **kwargs)
 
 
-def get_env_from_cfg(cfg, num_envs=None, **overrides):
-    """Batched env if num_envs given, else the reference-shaped SimEnv."""
+def get_env_from_cfg(cfg, num_envs=None, real=False, real_robot_indices=None,
+                     real_cube_indices=None, real_env_kwargs=None, **overrides):
+    """Batched env if num_envs given, the physical-robot RealEnv when
+    ``real=True`` (reference utils.py:183-201), else the reference-shaped
+    SimEnv."""
     params = env_params_from_cfg(cfg, **overrides)
+    if real:
+        from .real.real_env import RealEnv
+
+        return RealEnv(
+            params, real_robot_indices, real_cube_indices,
+            **(real_env_kwargs or {}),
+        )
     if num_envs is not None:
         return BatchedEnv(params, num_envs)
     return SimEnv(params, seed=cfg.get("random_seed"))

@@ -21,6 +21,7 @@ import numpy as np
 from .. import constants
 from ..envs import env as env_core
 from ..envs import geometry
+from ..envs.types import CUBE_LIFTED, CUBE_REMOVED
 from ..native import GridGraph
 from . import POSE_SERVER_AUTHKEY, POSE_SERVER_PORTS
 from .pure_pursuit import LOOKAHEAD_DISTANCE, TURN_THRESHOLD, arc_command, heading_error, lookahead_point
@@ -308,19 +309,21 @@ class RealEnv:
     """
 
     def __init__(self, params, real_robot_indices, real_cube_indices,
-                 transports=None, poll_hz=10.0):
+                 transports=None, poll_hz=10.0, conns=None):
         import jax
 
         self.params = params
         self.poll_dt = 1.0 / poll_hz
-        size = "large" if params.env_name.startswith("large") else "small"
-        self.conns = [
-            Client(("localhost", port), authkey=POSE_SERVER_AUTHKEY)
-            for port in POSE_SERVER_PORTS[size]
-        ]
+        if conns is None:  # pragma: no cover - hardware path
+            size = "large" if params.env_name.startswith("large") else "small"
+            conns = [
+                Client(("localhost", port), authkey=POSE_SERVER_AUTHKEY)
+                for port in POSE_SERVER_PORTS[size]
+            ]
+        self.conns = conns
         self.robot_ids = list(real_robot_indices)
         self.cube_ids = list(real_cube_indices)
-        if transports is None:
+        if transports is None:  # pragma: no cover - hardware path
             from . import vector_sdk
 
             transports = [
@@ -334,6 +337,9 @@ class RealEnv:
         self._reset_fn = jax.jit(lambda k: env_core.reset(params, k))
         self._observe_fn = jax.jit(lambda s: env_core.observe_standalone(params, s))
         self.state = None
+        self._awaiting = 0
+        self._steps = 0
+        self._carried_cube = [None] * len(self.drivers)
 
     # -- pose mirroring (update_poses, envs.py:389-432) -------------------
     def poll_poses(self, debug_data=None):
@@ -364,15 +370,16 @@ class RealEnv:
         import jax.numpy as jnp
 
         s = self.state
-        rpos = np.asarray(s.robot_pos)
-        rhead = np.asarray(s.robot_heading)
+        # np.array (not asarray): device arrays view as read-only buffers.
+        rpos = np.array(s.robot_pos)
+        rhead = np.array(s.robot_heading)
         for k, rid in enumerate(self.robot_ids):
             pose = robot_poses.get(rid)
             if pose:
                 rpos[k] = pose["position"]
                 rhead[k] = pose["heading"]
-        cpos = np.asarray(s.cube_pos)
-        chead = np.asarray(s.cube_heading)
+        cpos = np.array(s.cube_pos)
+        chead = np.array(s.cube_heading)
         for k, cid in enumerate(self.cube_ids):
             pose = cube_poses.get(cid)
             if pose:
@@ -416,20 +423,152 @@ class RealEnv:
         pts[-1] = tuple(target_xy)
         return pts
 
-    # -- public API --------------------------------------------------------
+    # -- host-side sequential-protocol bookkeeping -------------------------
+    def _group_slot(self, r):
+        """Flat robot index -> (group, index-within-group)."""
+        gi = self.params.robot_groups[r]
+        j = sum(1 for rr in range(r) if self.params.robot_groups[rr] == gi)
+        return gi, j
+
+    def _nested(self, fill=None):
+        return [
+            [fill] * sum(1 for g in self.params.robot_groups if g == gi)
+            for gi in range(self.params.num_groups)
+        ]
+
+    def _sync_state_books(self):
+        """Push the host drivers' truth (awaiting robot, waypoint progress,
+        carried cubes) into the mirrored EnvState so the jitted mapper
+        renders correct intention/history channels for every teammate
+        (reference: controllers expose get_intention_path, envs.py:1474)."""
+        import jax.numpy as jnp
+
+        s = self.state
+        r_n = len(self.drivers)
+        aw = np.zeros(r_n, bool)
+        aw[self._awaiting] = True
+        wp_index = np.asarray(s.wp_index).copy()
+        for k, d in enumerate(self.drivers):
+            if d.is_idle() or not d.waypoints:
+                continue
+            # Advance past consumed waypoints: everything behind the
+            # lookahead circle no longer renders in the intention map.
+            pos = np.asarray(s.robot_pos[k])
+            idx = int(wp_index[k])
+            num = int(np.asarray(s.num_wp[k]))
+            while idx < num - 1 and math.hypot(
+                d.waypoints[min(idx, len(d.waypoints) - 1)][0] - pos[0],
+                d.waypoints[min(idx, len(d.waypoints) - 1)][1] - pos[1],
+            ) < LOOKAHEAD_DISTANCE:
+                idx += 1
+            wp_index[k] = idx
+        cube_status = np.asarray(s.cube_status).copy()
+        # Lifted-flag is derived fresh from the host's carried-cube truth so
+        # a dropped cube reverts to available (removed cubes stay removed).
+        cube_status[cube_status == CUBE_LIFTED] = 0  # CUBE_AVAILABLE
+        for k, cid in enumerate(self._carried_cube):
+            if cid is not None and cid in self.cube_ids:
+                cube_status[self.cube_ids.index(cid)] = CUBE_LIFTED
+        self.state = s.replace(
+            awaiting=jnp.asarray(aw),
+            wp_index=jnp.asarray(wp_index),
+            cube_status=jnp.asarray(cube_status),
+        )
+
+    def _write_plan(self, r, waypoints, channel):
+        """Mirror the host-planned waypoint polyline into the EnvState's
+        per-robot plan fields (what inject_action does in sim,
+        env.py:380-391) so teammates' intention maps see this action."""
+        import jax.numpy as jnp
+
+        k = constants.MAX_WAYPOINTS
+        wps = np.asarray(waypoints, np.float32)[:k]
+        pad = np.tile(wps[-1][None], (k - len(wps), 1))
+        wps_full = np.concatenate([wps, pad], axis=0)
+        seg = wps_full[1:] - wps_full[:-1]
+        headings = np.arctan2(seg[:, 1], seg[:, 0])
+        wp_headings = np.concatenate(
+            [[float(self.state.robot_heading[r])], headings]
+        ).astype(np.float32)
+        s = self.state
+        self.state = s.replace(
+            waypoints=s.waypoints.at[r].set(jnp.asarray(wps_full)),
+            wp_headings=s.wp_headings.at[r].set(jnp.asarray(wp_headings)),
+            num_wp=s.num_wp.at[r].set(len(wps)),
+            wp_index=s.wp_index.at[r].set(1),
+        )
+
+    def _remove_receptacle_cubes(self):
+        """Mark mirrored cubes inside the receptacle as removed
+        (reference envs.py:419-430: real cubes seen in the receptacle leave
+        tracking). Returns the number of removed cubes."""
+        import jax.numpy as jnp
+
+        if not self.params.has_receptacle:
+            return 0
+        s = self.state
+        rx, ry = self.params.receptacle_position
+        half = constants.RECEPTACLE_WIDTH / 2
+        cpos = np.asarray(s.cube_pos)
+        status = np.asarray(s.cube_status).copy()
+        for k in range(len(self.cube_ids)):
+            if status[k] == CUBE_REMOVED:
+                continue
+            if (abs(cpos[k, 0] - rx) < half and abs(cpos[k, 1] - ry) < half):
+                status[k] = CUBE_REMOVED
+                cid = self.cube_ids[k]
+                for j, carried in enumerate(self._carried_cube):
+                    if carried == cid:
+                        self._carried_cube[j] = None
+        self.state = s.replace(cube_status=jnp.asarray(status))
+        return int(np.sum(status == CUBE_REMOVED))
+
+    # -- public API (reference-shaped, envs.py:187-222 / enjoy.py:24-31) ---
     def reset(self):
         import jax
 
         self.state = self._reset_fn(jax.random.PRNGKey(0))
         robot_poses, cube_poses = self.poll_poses()
         self._mirror(robot_poses, cube_poses)
-        obs, robot, group = self._observe_fn(self.state)
-        self._awaiting = int(robot)
-        return obs
+        self._awaiting = 0
+        self._steps = 0
+        self._carried_cube = [None] * len(self.drivers)
+        return self.get_state()
 
-    def step(self, flat_action):
+    def get_state(self):
+        """Nested [group][robot] observations: the awaiting robot's obs,
+        None elsewhere (SimEnv.get_state parity)."""
+        self._sync_state_books()
+        obs, robot, group = self._observe_fn(self.state)
+        out = self._nested()
+        gi, j = self._group_slot(self._awaiting)
+        out[gi][j] = np.asarray(obs)
+        return out
+
+    def step(self, action, max_seconds=None):
+        """One sequential-protocol step: issue the awaiting robot's action,
+        drive the physical team until some robot is next (a driver idles, or
+        an idle robot has no outstanding action yet), then return
+        ``(state, reward, done, info)`` in the reference's nested shapes.
+
+        Rewards are ``None`` (the real env does not score — reference
+        enjoy.py:28 discards them); ``done`` is all-cubes-in-receptacle or
+        the per-robot inactivity cutoff."""
+        # Locate the acting robot's flat action in the nested list.
+        r, flat_action = None, None
+        for gi, group in enumerate(action):
+            for j, a in enumerate(group):
+                if a is None:
+                    continue
+                count = -1
+                for rr in range(len(self.drivers)):
+                    if self.params.robot_groups[rr] == gi:
+                        count += 1
+                        if count == j:
+                            r, flat_action = rr, int(a)
+        assert r == self._awaiting, (r, self._awaiting)
+
         n = constants.LOCAL_MAP_PIXEL_WIDTH
-        r = self._awaiting
         channel = flat_action // (n * n)
         pi = (flat_action // n) % n
         pj = flat_action % n
@@ -443,11 +582,26 @@ class RealEnv:
 
         waypoints = self._plan(r, target)
         self.drivers[r].new_action(waypoints, end_effector_action=channel == 1)
+        self._write_plan(r, waypoints, channel)
+        self._steps += 1
 
-        # Drive until some robot idles (the sequential protocol).
-        carried = getattr(self, "_carried_cube", [None] * len(self.drivers))
-        self._carried_cube = carried
-        while not any(d.is_idle() for d in self.drivers):
+        # Drive until a robot needs its next action: either a driver that
+        # was busy goes idle, or (start of episode) some robot has never
+        # been issued an action — the sim's set_awaiting picks the first
+        # idle robot immediately (env.py:477-486).
+        t0 = time.time()
+        carried = self._carried_cube
+        while True:
+            idle = [k for k, d in enumerate(self.drivers) if d.is_idle()]
+            if idle:
+                self._awaiting = idle[0]
+                break
+            if max_seconds is not None and time.time() - t0 > max_seconds:
+                for d in self.drivers:
+                    d.transport.set_wheel_speeds(0.0, 0.0)
+                    d.state = IDLE
+                self._awaiting = 0
+                break
             debug = [d.debug_data for d in self.drivers]
             robot_poses, cube_poses = self.poll_poses(debug)
             self._mirror(robot_poses, cube_poses)
@@ -469,9 +623,19 @@ class RealEnv:
                     carried[k] = None
             time.sleep(self.poll_dt)
 
-        obs, robot, group = self._observe_fn(self.state)
-        self._awaiting = int(robot)
-        return obs
+        # Refresh the mirror once more so observations see final poses.
+        robot_poses, cube_poses = self.poll_poses(
+            [d.debug_data for d in self.drivers]
+        )
+        self._mirror(robot_poses, cube_poses)
+        removed = self._remove_receptacle_cubes()
+
+        cutoff = self.params.inactivity_cutoff
+        done = removed >= len(self.cube_ids) or self._steps >= cutoff
+        info = {"steps": self._steps, "total_cubes": removed}
+        reward = self._nested()
+        state = self.get_state() if not done else self._nested()
+        return state, reward, done, info
 
 
 class _VectorTransport:  # pragma: no cover - hardware path
