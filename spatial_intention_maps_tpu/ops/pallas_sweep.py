@@ -146,12 +146,18 @@ def _sweep_kernel(dist_ref, payload_ref, free_ref, dist_out, payload_out,
     jax.lax.fori_loop(0, num_pass_pairs, one_pass_pair, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_pass_pairs",))
-def sweep_pallas(dist, payload, free, num_pass_pairs=3):
+@functools.partial(
+    jax.jit, static_argnames=("num_pass_pairs", "interpret")
+)
+def sweep_pallas(dist, payload, free, num_pass_pairs=3, interpret=None):
     """Drop-in replacement for :func:`wavefront.sweep` on batched inputs.
 
     dist/payload/free: (B, H, W).  Returns (dist, payload).
+    ``interpret=None`` auto-picks interpreter mode off-TPU (kernel logic
+    runs anywhere; Mosaic lowering is TPU-only).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, w = dist.shape
     wp = max(128, 1 << int(math.ceil(math.log2(w))))
     bp = ((b + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
@@ -178,6 +184,7 @@ def sweep_pallas(dist, payload, free, num_pass_pairs=3):
             jax.ShapeDtypeStruct((h, bp, wp), jnp.float32),
             jax.ShapeDtypeStruct((h, bp, wp), jnp.int32),
         ),
+        interpret=interpret,
     )(dist_p, payload_p, free_p)
     dist_o = jnp.transpose(dist_o, (1, 0, 2))
     payload_o = jnp.transpose(payload_o, (1, 0, 2))
@@ -292,9 +299,18 @@ def _stream_kernel(dist_hbm, pay_hbm, free_hbm, dist_out, pay_out,
     jax.lax.fori_loop(0, num_pass_pairs, one_pass_pair, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_pass_pairs",))
-def sweep_pallas_stream(dist, payload, free, num_pass_pairs=3):
-    """Streaming sweep for large batches. dist/payload/free: (B, H, W)."""
+@functools.partial(
+    jax.jit, static_argnames=("num_pass_pairs", "interpret")
+)
+def sweep_pallas_stream(dist, payload, free, num_pass_pairs=3,
+                        interpret=None):
+    """Streaming sweep for large batches. dist/payload/free: (B, H, W).
+
+    ``interpret``: run the kernel in Pallas interpreter mode — the default
+    (None) picks it automatically off-TPU so the kernel LOGIC is exercised
+    on the CPU mesh (Mosaic lowering is still TPU-only)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, w = dist.shape
     wp = max(128, 1 << int(math.ceil(math.log2(w))))
     bp = min(STREAM_MAX_B, max(8, ((b + 7) // 8) * 8))
@@ -305,7 +321,8 @@ def sweep_pallas_stream(dist, payload, free, num_pass_pairs=3):
         for c in range(n_chunks):
             sl = slice(c * bp, min((c + 1) * bp, b))
             dd, pp = sweep_pallas_stream(
-                dist[sl], payload[sl], free[sl], num_pass_pairs
+                dist[sl], payload[sl], free[sl], num_pass_pairs,
+                interpret=interpret,
             )
             outs_d.append(dd)
             outs_p.append(pp)
@@ -346,6 +363,7 @@ def sweep_pallas_stream(dist, payload, free, num_pass_pairs=3):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(dist_p, payload_p, free_p)
     dist_o = jnp.transpose(dist_o, (1, 0, 2))
     payload_o = jnp.transpose(payload_o, (1, 0, 2))
