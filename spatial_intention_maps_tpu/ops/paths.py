@@ -50,7 +50,8 @@ def parent_dir_image(dist_img):
     return jnp.where(best < dist_img, k, 8).astype(jnp.int32)
 
 
-def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
+def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS,
+              unroll=_DESCENT_UNROLL):
     """Greedy steepest descent on a distance image from start to the seed.
 
     Returns (path (num_steps, 2) int32, path_len).  Once the seed (dist==0)
@@ -72,7 +73,7 @@ def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
         return jnp.clip(cur + delta, 0, hi)
 
     start = jnp.asarray(start_ij, jnp.int32)
-    n_iters = (num_steps - 1 + _DESCENT_UNROLL - 1) // _DESCENT_UNROLL
+    n_iters = (num_steps - 1 + unroll - 1) // unroll
 
     # Early-exit while loop: under vmap this runs until ALL batch lanes have
     # converged (reached the seed / a local min), so the sequential depth is
@@ -81,10 +82,10 @@ def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
     # path write a dynamic_update_slice rather than a scatter.
     def descend_block(cur):
         outs = []
-        for _u in range(_DESCENT_UNROLL):
+        for _u in range(unroll):
             cur = descend(cur)
             outs.append(cur)
-        return jnp.stack(outs)  # (_DESCENT_UNROLL, 2)
+        return jnp.stack(outs)  # (unroll, 2)
 
     def cond(carry):
         k, _cur, _path, _plen, done = carry
@@ -96,13 +97,13 @@ def backtrace(dist_img, start_ij, num_steps=constants.BACKTRACE_MAX_STEPS):
         prev = jnp.concatenate([cur[None], block[:-1]], axis=0)
         moved = jnp.any(block != prev, axis=-1)
         path = jax.lax.dynamic_update_slice(
-            path, block, (1 + k * _DESCENT_UNROLL, jnp.int32(0))
+            path, block, (1 + k * unroll, jnp.int32(0))
         )
         plen = plen + jnp.sum(moved.astype(jnp.int32))
         done = ~jnp.any(moved)
         return k + 1, block[-1], path, plen, done
 
-    path0 = jnp.zeros((1 + n_iters * _DESCENT_UNROLL, 2), jnp.int32)
+    path0 = jnp.zeros((1 + n_iters * unroll, 2), jnp.int32)
     path0 = path0.at[0].set(start)
     init = (jnp.int32(0), start, path0, jnp.int32(1), jnp.bool_(False))
     _, final, path, path_len, _ = jax.lax.while_loop(cond, body, init)
