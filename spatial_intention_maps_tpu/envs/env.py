@@ -678,13 +678,158 @@ def perception_pass_batched(params: EnvParams, state_b):
     return out
 
 
-def _dist_to_receptacle(params, img, snap, position):
-    """mapper.distance_to_receptacle (envs.py:2189-2194) for one position."""
+def make_percep_cache(params: EnvParams, num_envs: int):
+    """All-invalid distance-field cache for :func:`perception_pass_batched_cached`.
+
+    The reference rebuilds its GridGraph only when the occupancy map changes
+    and caches per-source SPFA results (envs.py:2459, shortest_paths.pyx:
+    116-119).  This is the SPMD equivalent: per-(env, robot) configuration
+    spaces, snap payloads, and receptacle distance images are carried across
+    rounds and re-swept only for rows whose occupancy memory gained cells
+    (occupancy is monotone, so unchanged occupancy ⇒ bit-identical fields).
+    """
+    h, w = params.map_shape
+    r_n = params.num_robots
+    cache = {
+        "cspaces": jnp.zeros((num_envs, r_n, h, w), bool),
+        "snaps": jnp.zeros((num_envs, r_n, h, w), jnp.int32),
+        "valid": jnp.zeros((num_envs, r_n), bool),
+    }
+    if params.has_receptacle:
+        cache["recep_imgs"] = jnp.zeros((num_envs, r_n, h, w), jnp.float32)
+    return cache
+
+
+def perception_pass_batched_cached(params: EnvParams, state_b, cache,
+                                   budget: int):
+    """:func:`perception_pass_batched` with cross-round caching.
+
+    ``cache`` rows (leading dim M, gathered from the loop-state cache by the
+    caller) carry per-(env, robot) cspaces/snaps/receptacle images plus a
+    ``valid`` flag the CALLER maintains (cleared whenever that robot's
+    occupancy changed).  Rows still valid are returned as-is — bit-identical
+    to a recompute since occupancy is monotone — and invalid rows are
+    re-dilated and re-swept in ``budget``-row passes inside a while loop
+    (zero passes when everything is valid, ceil(dirty/budget) otherwise), so
+    results are ALWAYS exact.  Only the per-env self distance image (seeded
+    at the awaiting robot, which moves every action) is swept every call.
+
+    Returns (percep, new_cache_rows).
+    """
+    m = state_b.occupancy.shape[0]
+    r_n = params.num_robots
+    h, w = params.map_shape
+    ppm = constants.LOCAL_MAP_PIXELS_PER_METER
+    npp = params.num_pass_pairs
+    rmask = geometry.room_mask(h, w, params.room_length, params.room_width)
+    mr = m * r_n
+    budget = min(budget, mr)
+    distinct = _distinct_radii(params)
+    idx_img = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
+    menv = jnp.arange(m)
+    r_awaiting = jnp.argmax(state_b.awaiting, axis=1)  # (M,)
+
+    if params.has_receptacle:
+        rx, ry = params.receptacle_position
+        ri, rj = geometry.position_to_pixel(
+            jnp.float32(rx), jnp.float32(ry), h, w
+        )
+
+    def put(full, vals, rows):
+        return full.reshape(mr, h, w).at[rows].set(vals).reshape(m, r_n, h, w)
+
+    def refresh_pass(carry):
+        dirty_flat = ~carry["valid"].reshape(mr)
+        order = jnp.argsort(~dirty_flat, stable=True)  # dirty rows first
+        rows = order[:budget]
+        rrob = rows % r_n
+        occ_rows = state_b.occupancy.reshape(mr, h, w)[rows]
+
+        # Re-dilate the selected rows (one dilation per distinct radius).
+        dil = [raster_ops.binary_dilate_disk(occ_rows, rad) for rad in distinct]
+        if len(distinct) == 1:
+            cs_rows = dil[0]
+        else:
+            which = jnp.asarray(
+                [distinct.index(rad) for rad in params.cspace_radii_px]
+            )[rrob]
+            cs_rows = jnp.select(
+                [which[:, None, None] == k for k in range(len(distinct))], dil
+            )
+        cs_rows = rmask & ~cs_rows
+
+        # Snap sweep for the selected rows.
+        dist0 = jnp.where(cs_rows, 0.0, wavefront.BIG).astype(jnp.float32)
+        pay0 = jnp.where(cs_rows, idx_img, 0)
+        _, snap_rows = wavefront.sweep_batched(
+            dist0, pay0, jnp.ones_like(cs_rows), npp
+        )
+
+        out = {
+            "cspaces": put(carry["cspaces"], cs_rows, rows),
+            "snaps": put(carry["snaps"], snap_rows, rows),
+            "valid": carry["valid"].reshape(mr).at[rows].set(True).reshape(
+                m, r_n
+            ),
+        }
+        if params.has_receptacle:
+            rsnap = snap_rows[:, ri, rj]
+            seeds = jnp.stack([rsnap // w, rsnap % w], axis=-1)
+            krows = jnp.arange(budget)
+            free2 = cs_rows.at[krows, seeds[:, 0], seeds[:, 1]].set(True)
+            d0 = jnp.full((budget, h, w), wavefront.BIG, jnp.float32)
+            d0 = d0.at[krows, seeds[:, 0], seeds[:, 1]].set(0.0)
+            p0 = jnp.zeros((budget, h, w), jnp.int32)
+            dists, _ = wavefront.sweep_batched(d0, p0, free2, npp)
+            out["recep_imgs"] = put(carry["recep_imgs"], dists / ppm, rows)
+        return out
+
+    cache = jax.lax.while_loop(
+        lambda c: jnp.any(~c["valid"]), refresh_pass, cache
+    )
+
+    # Per-env self distance image (seed moves every action: always swept).
+    cs_await = cache["cspaces"][menv, r_awaiting]
+    snap_await = cache["snaps"][menv, r_awaiting]
+    pos = state_b.robot_pos[menv, r_awaiting]
+    pi, pj = geometry.position_to_pixel(pos[:, 0], pos[:, 1], h, w)
+    sflat = snap_await[menv, pi, pj]
+    seeds = jnp.stack([sflat // w, sflat % w], axis=-1)
+    free2 = cs_await.at[menv, seeds[:, 0], seeds[:, 1]].set(True)
+    d0 = jnp.full((m, h, w), wavefront.BIG, jnp.float32)
+    d0 = d0.at[menv, seeds[:, 0], seeds[:, 1]].set(0.0)
+    p0 = jnp.zeros((m, h, w), jnp.int32)
+    dists, _ = wavefront.sweep_batched(d0, p0, free2, npp)
+
+    percep = {
+        "cspaces": cache["cspaces"],
+        "snaps": cache["snaps"],
+        "self_img": dists / ppm,
+        "awaiting": r_awaiting,
+    }
+    if params.has_receptacle:
+        percep["recep_imgs"] = cache["recep_imgs"]
+
+    # Thin cspace for the awaiting robot (uncached: small radius).
+    thin_r = int(math.ceil(constants.ROBOT_HALF_WIDTH * ppm))
+    occ_awaiting = state_b.occupancy[menv, r_awaiting]
+    percep["cspace_thin"] = ~raster_ops.binary_dilate_disk(
+        occ_awaiting & rmask, thin_r
+    )
+    return percep, cache
+
+
+def _dist_to_receptacle_at(params, recep_imgs, snaps, r, position):
+    """mapper.distance_to_receptacle (envs.py:2189-2194) for one position,
+    indexing the stacked (R, H, W) percep arrays directly: a traced-robot
+    slab extract (``recep_imgs[r]``) under a cube/robot vmap materializes
+    (entities, H, W) temporaries — ~100 MB per service batch at the flagship
+    shapes; two chained 1-element gathers replace them."""
     h, w = params.map_shape
     if params.use_shortest_path_partial_rewards:
         i, j = geometry.position_to_pixel(position[..., 0], position[..., 1], h, w)
-        i, j = wavefront.snap_to_valid(snap, i, j)
-        return img[i, j]
+        flat = snaps[r, i, j]
+        return recep_imgs[r, flat // w, flat % w]
     rx, ry = params.receptacle_position
     return jnp.sqrt((position[..., 0] - rx) ** 2 + (position[..., 1] - ry) ** 2)
 
@@ -772,10 +917,10 @@ def step_end_post(params: EnvParams, state: EnvState, ctx, percep):
 
         def cube_delta(c):
             r = closest[c]
-            img = recep_imgs[r]
-            snap = snaps[r]
-            d0 = _dist_to_receptacle(params, img, snap, state.push_initial_cube_pos[c])
-            d1 = _dist_to_receptacle(params, img, snap, cube_xy_now[c])
+            d0 = _dist_to_receptacle_at(
+                params, recep_imgs, snaps, r, state.push_initial_cube_pos[c]
+            )
+            d1 = _dist_to_receptacle_at(params, recep_imgs, snaps, r, cube_xy_now[c])
             ok = (
                 eligible[c]
                 & pushing_mask[r]
@@ -792,8 +937,8 @@ def step_end_post(params: EnvParams, state: EnvState, ctx, percep):
         # Deferred lifted/thrown partial-reward pairs (envs.py:1210-1215,
         # 1331-1335).
         def robot_delta(r):
-            d0 = _dist_to_receptacle(params, recep_imgs[r], snaps[r], state.pr_initial[r])
-            d1 = _dist_to_receptacle(params, recep_imgs[r], snaps[r], state.pr_final[r])
+            d0 = _dist_to_receptacle_at(params, recep_imgs, snaps, r, state.pr_initial[r])
+            d1 = _dist_to_receptacle_at(params, recep_imgs, snaps, r, state.pr_final[r])
             ok = (
                 state.pr_pending[r]
                 & (d0 < wavefront.UNREACHABLE_THRESHOLD)

@@ -94,12 +94,98 @@ def _crop_kernel_matvec(gi_ref, gj_ref, g_ref, out_ref):
     out_ref[...] = jnp.concatenate(cols, axis=1)
 
 
+def _crop_kernel_matvec_jfirst(gi_ref, gj_ref, gt_ref, out_ref):
+    """Variant: contract the LANE dim first — ``oh_j @ G^T`` runs the MXU at
+    K=W=128 (full systolic K; the i-first variant's K=H is 80 on the small
+    canvas), then the i-contraction is the same masked matvec trick on an
+    80-wide product.  Needs G transposed to (C, W, H)."""
+    c, w, h = gt_ref.shape
+    pb = gi_ref.shape[0]
+    oh_i = (
+        gi_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, h), 1)
+    ).astype(jnp.float32)
+    oh_j = (
+        gj_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, w), 1)
+    ).astype(jnp.bfloat16)
+    ones = jnp.ones((h, 1), jnp.bfloat16)
+    cols = []
+    for ch in range(c):
+        cols_h = jnp.dot(oh_j, gt_ref[ch], preferred_element_type=jnp.float32)
+        cols.append(
+            jnp.dot(
+                (cols_h * oh_i).astype(jnp.bfloat16), ones,
+                preferred_element_type=jnp.float32,
+            )
+        )  # (PB, 1) f32
+    out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
+def _crop_kernel_wide(gi_ref, gj_ref, gw_ref, out_ref):
+    """Variant: ALL channels in one (PB, H) @ (H, C*W) matmul — the
+    per-channel (80x128) matmuls are K- and N-starved on the MXU, so fusing
+    the channel dim into N amortizes the systolic load.  G rides in as
+    (H, C*W) with channel-major 128-lane blocks, so each channel's rows are
+    a clean lane-tile slice for the masked matvec."""
+    h, cw = gw_ref.shape
+    pb = gi_ref.shape[0]
+    c = out_ref.shape[1]
+    w = cw // c
+    oh_i = (
+        gi_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, h), 1)
+    ).astype(jnp.bfloat16)
+    oh_j = (
+        gj_ref[:, 0:1] == jax.lax.broadcasted_iota(jnp.int32, (pb, w), 1)
+    ).astype(jnp.float32)
+    ones = jnp.ones((w, 1), jnp.bfloat16)
+    rows = jnp.dot(oh_i, gw_ref[...], preferred_element_type=jnp.float32)
+    cols = []
+    for ch in range(c):
+        seg = rows[:, ch * w:(ch + 1) * w]
+        cols.append(
+            jnp.dot(
+                (seg * oh_j).astype(jnp.bfloat16), ones,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
 @partial(jax.jit, static_argnames=("interpret", "block_p", "variant"))
 def _crop_call(g_chw, gi, gj, interpret=False, block_p=_BLOCK_P,
                variant="matvec"):
     c, h, w = g_chw.shape
     p = gi.shape[0]
     grid = (p // block_p,)
+    if variant == "wide":
+        # (C, H, W) -> (H, C*W) channel-major lane blocks
+        gw = jnp.transpose(g_chw, (1, 0, 2)).reshape(h, c * w)
+        out = pl.pallas_call(
+            _crop_kernel_wide,
+            out_shape=jax.ShapeDtypeStruct((p, c), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+                pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+                pl.BlockSpec((h, c * w), lambda pb: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_p, c), lambda pb: (pb, 0)),
+            interpret=interpret,
+        )(gi[:, None], gj[:, None], gw)
+        return jnp.transpose(out, (1, 0))  # (C, P)
+    if variant == "jfirst":
+        out = pl.pallas_call(
+            _crop_kernel_matvec_jfirst,
+            out_shape=jax.ShapeDtypeStruct((p, c), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+                pl.BlockSpec((block_p, 1), lambda pb: (pb, 0)),
+                pl.BlockSpec((c, w, h), lambda pb: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_p, c), lambda pb: (pb, 0)),
+            interpret=interpret,
+        )(gi[:, None], gj[:, None], jnp.transpose(g_chw, (0, 2, 1)))
+        return jnp.transpose(out, (1, 0))  # (C, P)
     if variant == "matvec":
         out = pl.pallas_call(
             _crop_kernel_matvec,
@@ -150,7 +236,9 @@ def extract_local_maps_pallas(global_maps_hwc, position, heading,
     gj = jnp.clip(jnp.floor(w / 2 + px * ppm).astype(jnp.int32), 0, w - 1)
     n = gi.shape[0]
     p = n * n
-    block_p = _BLOCK_P if p % _BLOCK_P == 0 else _pick_block(p)
+    env_bp = os.environ.get("SIM_TPU_PALLAS_CROP_BLOCK")
+    block_cap = int(env_bp) if env_bp else _BLOCK_P
+    block_p = block_cap if p % block_cap == 0 else _pick_block(p)
     out = _crop_call(
         jnp.transpose(global_maps_hwc.astype(jnp.bfloat16), (2, 0, 1)),
         gi.reshape(p), gj.reshape(p),

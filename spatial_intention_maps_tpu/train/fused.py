@@ -65,6 +65,10 @@ class LoopState:
     pend_has: jnp.ndarray           # (B, R) bool
     key: jnp.ndarray
     round_idx: jnp.ndarray          # int32
+    # Cross-round distance-field cache (env.make_percep_cache), or None when
+    # disabled.  Mirrors the reference's rebuild-only-on-map-change GridGraph
+    # (envs.py:2459) — see env.perception_pass_batched_cached.
+    percep_cache: Any = None
 
 
 class FusedLoop:
@@ -72,7 +76,9 @@ class FusedLoop:
 
     def __init__(self, params: EnvParams, num_envs: int, num_channels: int,
                  substeps_per_round: int = 64, service_capacity: Optional[int] = None,
-                 policy=None, use_pallas_substep: Optional[bool] = None):
+                 policy=None, use_pallas_substep: Optional[bool] = None,
+                 use_percep_cache: Optional[bool] = None,
+                 percep_cache_budget: Optional[int] = None):
         self.params = params
         self.num_envs = num_envs
         self.num_channels = num_channels
@@ -107,6 +113,15 @@ class FusedLoop:
             8, min(num_envs, int(num_envs * substeps_per_round / 256))
         )
         self.capacity = min(num_envs, cap)
+        # Distance-field caching across rounds (exact: rows re-swept whenever
+        # their occupancy memory changed).  SIM_TPU_PERCEP_CACHE=0 disables.
+        if use_percep_cache is None:
+            env_pc = os.environ.get("SIM_TPU_PERCEP_CACHE")
+            use_percep_cache = True if env_pc is None else bool(int(env_pc))
+        self.use_percep_cache = use_percep_cache
+        self.percep_cache_budget = percep_cache_budget or max(
+            8, self.capacity // 2
+        )
         self.policy = policy
         self._build()
 
@@ -125,6 +140,10 @@ class FusedLoop:
             pend_has=jnp.zeros((b, r), bool),
             key=key,
             round_idx=jnp.int32(0),
+            percep_cache=(
+                env_core.make_percep_cache(self.params, b)
+                if self.use_percep_cache else None
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -196,7 +215,26 @@ class FusedLoop:
                 ),
                 lambda: fin_pre,
             )
-            percep = env_core.perception_pass_batched(params, fin_pre)
+            if self.use_percep_cache:
+                cache_sub = jax.tree.map(lambda x: x[idx], ls.percep_cache)
+                # step_end_pre fused a fresh observation into the awaiting
+                # robots' occupancy: those rows' cached fields are stale.
+                occ_changed = jnp.any(
+                    fin_pre.occupancy != sub.occupancy, axis=(-2, -1)
+                )  # (M, R)
+                cache_sub["valid"] = cache_sub["valid"] & ~occ_changed
+                percep, cache_sub = env_core.perception_pass_batched_cached(
+                    params, fin_pre, cache_sub, self.percep_cache_budget
+                )
+                # Rows NOT being finalized revert to the pre-step_end_pre
+                # occupancy below (`merged` takes `sub`), so cache rows
+                # refreshed against the discarded update must not be trusted.
+                cache_sub["valid"] = cache_sub["valid"] & ~(
+                    occ_changed & ~needs_fin[:, None]
+                )
+            else:
+                cache_sub = None
+                percep = env_core.perception_pass_batched(params, fin_pre)
             fin = jax.vmap(
                 lambda s, c, p: env_core.step_end_post(params, s, c, p)
             )(fin_pre, ctx, percep)
@@ -260,6 +298,15 @@ class FusedLoop:
             # ---- Auto-reset finished episodes ----
             merged = _tree_where(done, fresh, merged)
             percep = _tree_where(done, fresh_percep, percep)
+            if self.use_percep_cache:
+                # Seed cache rows for fresh envs from their reset perception.
+                for k_c in ("cspaces", "snaps", "recep_imgs"):
+                    if k_c in cache_sub:
+                        cache_sub[k_c] = jnp.where(
+                            done[:, None, None, None], fresh_percep[k_c],
+                            cache_sub[k_c],
+                        )
+                cache_sub["valid"] = cache_sub["valid"] | done[:, None]
             obs = jnp.where(done[:, None, None, None], fresh_obs, obs)
             robot = jnp.where(done, fresh_robot, robot)
             group = groups_arr[robot]
@@ -358,6 +405,13 @@ class FusedLoop:
                 pend_act=ls.pend_act.at[safe_idx].set(pend_act, mode="drop"),
                 pend_has=ls.pend_has.at[safe_idx].set(pend_has, mode="drop"),
                 key=key,
+                percep_cache=(
+                    jax.tree.map(
+                        lambda full, s: full.at[safe_idx].set(s, mode="drop"),
+                        ls.percep_cache, cache_sub,
+                    )
+                    if self.use_percep_cache else ls.percep_cache
+                ),
             )
 
             # ---- Advance simulation ----
@@ -372,15 +426,28 @@ class FusedLoop:
             # Mid-action map refresh on the reference's ~200-substep cadence
             # (envs.py:1400-1402), amortized over rounds.
             refresh_every = max(1, 200 // k_sub)
-            env2 = jax.lax.cond(
-                ls.round_idx % refresh_every == refresh_every - 1,
-                lambda e: jax.vmap(
+
+            def do_refresh(operand):
+                e, cache = operand
+                e2 = jax.vmap(
                     lambda s: env_core.mid_action_map_refresh(params, s)
-                )(e),
-                lambda e: e,
-                env2,
+                )(e)
+                if self.use_percep_cache:
+                    changed = jnp.any(
+                        e2.occupancy != e.occupancy, axis=(-2, -1)
+                    )  # (B, R)
+                    cache = {**cache, "valid": cache["valid"] & ~changed}
+                return e2, cache
+
+            env2, cache_full = jax.lax.cond(
+                ls.round_idx % refresh_every == refresh_every - 1,
+                do_refresh,
+                lambda operand: operand,
+                (env2, new_ls.percep_cache),
             )
-            new_ls = new_ls.replace(env=env2, round_idx=ls.round_idx + 1)
+            new_ls = new_ls.replace(
+                env=env2, round_idx=ls.round_idx + 1, percep_cache=cache_full
+            )
 
             # Click-quality diagnostics: is the policy aiming the
             # end-effector channel at cubes (when free) and at the
@@ -865,6 +932,7 @@ class FusedTrainer:
                 env=spec, stored_obs=spec, stored_robot=spec, has_obs=spec,
                 pend_obs=spec, pend_act=spec, pend_has=spec,
                 key=spec, round_idx=spec,
+                percep_cache=spec if self.loop.use_percep_cache else None,
             )
             hot_specs = (ls_specs, tuple(spec for _ in range(G)), spec)
             cold_specs = (
@@ -1136,6 +1204,7 @@ def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
         stored_obs=spec, stored_robot=spec, has_obs=spec,
         pend_obs=spec, pend_act=spec, pend_has=spec,
         key=spec, round_idx=spec,
+        percep_cache=spec if loop.use_percep_cache else None,
     )
 
     def make_body(use_gt):
@@ -1186,6 +1255,7 @@ def make_sharded_round(loop: FusedLoop, mesh, axis: str = "dp"):
             pend_has=merge(ls_n.pend_has),
             key=ls_n.key,            # (n, 2): per-shard RNG streams
             round_idx=ls_n.round_idx,  # (n,)
+            percep_cache=jax.tree.map(merge, ls_n.percep_cache),
         )
 
     return sharded, global_init

@@ -123,3 +123,47 @@ def test_use_gt_intention_curriculum_schedule():
     # Flag off => never GT-gated.
     off = ConfigDict(use_predicted_intention=False, total_timesteps=1000)
     assert not use_gt_intention(off, 0, warm)
+
+
+def test_percep_cache_bit_exact():
+    """The distance-field cache must be invisible: a cached loop and an
+    uncached loop driven with the same keys produce identical transition
+    streams and identical env states across rounds spanning map updates,
+    refresh rounds, and budget-exceeded fallbacks."""
+    params = EnvParams.from_robot_config(
+        [{"lifting_robot": 2}],
+        env_name="small_divider",
+        room_length=1.0,
+        room_width=0.5,
+        num_cubes=3,
+        num_pass_pairs=2,
+        use_partial_observations=True,
+        use_intention_map=True,
+        intention_map_encoding="ramp",
+    )
+    kw = dict(num_envs=4, num_channels=params.num_state_channels,
+              substeps_per_round=32, service_capacity=4)
+    loop_c = FusedLoop(params, use_percep_cache=True, percep_cache_budget=3,
+                       **kw)
+    loop_u = FusedLoop(params, use_percep_cache=False, **kw)
+    ls_c = loop_c.init(jax.random.PRNGKey(7))
+    ls_u = loop_u.init(jax.random.PRNGKey(7))
+    assert ls_c.percep_cache is not None and ls_u.percep_cache is None
+
+    for i in range(12):
+        ls_c, tr_c, m_c = loop_c.round(ls_c, None, 1.0)
+        ls_u, tr_u, m_u = loop_u.round(ls_u, None, 1.0)
+        for k in tr_c:
+            np.testing.assert_array_equal(
+                np.asarray(tr_c[k]), np.asarray(tr_u[k]),
+                err_msg=f"round {i} transition field {k}",
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            ls_c.env, ls_u.env,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ls_c.stored_obs), np.asarray(ls_u.stored_obs)
+        )

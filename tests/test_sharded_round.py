@@ -64,6 +64,7 @@ def _shard_slice(gls, s):
         pend_has=sl(gls.pend_has),
         key=gls.key[s],
         round_idx=gls.round_idx[s],
+        percep_cache=jax.tree.map(sl, gls.percep_cache),
     )
 
 

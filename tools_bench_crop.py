@@ -1,0 +1,65 @@
+"""Crop-kernel timing forensics.
+
+The round profiler measured the pallas matvec crop at ~14 ms (B=1024,
+M=256) while a standalone ones-input microbench clocked 0.06 ms — either
+XLA folds something through the constant stack, or the profiler context
+inflates the number.  Time the kernel on random vs ones stacks, at several
+block sizes (block 9216 OOMs scoped vmem: output staging is whole-tensor
+under vmap), and the XLA one-hot path for reference.
+
+Usage: python tools_bench_crop.py [M] [C]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(name, fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ms = (time.time() - t0) / reps * 1000
+    print(f"{name:42s} {ms:8.2f} ms", flush=True)
+    return out
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    h, w = 80, 128
+
+    from spatial_intention_maps_tpu.ops import pallas_crop, raster_ops
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    stacks_r = jax.random.uniform(k1, (m, h, w, c))
+    stacks_1 = jnp.ones((m, h, w, c), jnp.float32)
+    pos = jax.random.uniform(k2, (m, 2), minval=-0.3, maxval=0.3)
+    head = jax.random.uniform(k3, (m,), minval=-3.1, maxval=3.1)
+
+    timeit("crop XLA one-hot (rand)", jax.jit(jax.vmap(
+        raster_ops.extract_local_maps_mxu)), stacks_r, pos, head)
+
+    for label, stacks in (("rand", stacks_r), ("ones", stacks_1)):
+        for block in (1024, 2304, 4608):
+            os.environ["SIM_TPU_PALLAS_CROP_BLOCK"] = str(block)
+            fn = jax.jit(jax.vmap(
+                lambda g, p, hh: pallas_crop.extract_local_maps_pallas(g, p, hh)
+            ))
+            try:
+                timeit(f"crop pallas matvec ({label}) block={block}",
+                       fn, stacks, pos, head)
+            except Exception as e:
+                print(f"crop pallas matvec ({label}) block={block}: "
+                      f"{type(e).__name__}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)

@@ -158,8 +158,11 @@ def main():
     )
     h_px, w_px = params.map_shape
     print(f"B={b} M={m} map={h_px}x{w_px}", flush=True)
+    # use_percep_cache=False: the setup rounds only produce realistic state;
+    # the uncached round graph is already in the XLA compile cache.
     loop = FusedLoop(params, num_envs=b, num_channels=params.num_state_channels,
-                     substeps_per_round=64, service_capacity=m)
+                     substeps_per_round=64, service_capacity=m,
+                     use_percep_cache=False)
     ls = loop.init(jax.random.PRNGKey(0))
     for _ in range(4):
         ls, _, _ = loop.round(ls, None, 1.0)

@@ -83,6 +83,21 @@ def main():
     percep_fn = jax.jit(lambda s: env_core.perception_pass_batched(params, s))
     percep, _ = timeit("perception (M)", percep_fn, fin_pre)
 
+    # Cached perception: all-clean cache (steady state) vs all-dirty.
+    budget = max(8, m // 2)
+    cache_clean = {
+        "cspaces": percep["cspaces"], "snaps": percep["snaps"],
+        "valid": jnp.ones((m, params.num_robots), bool),
+    }
+    if params.has_receptacle:
+        cache_clean["recep_imgs"] = percep["recep_imgs"]
+    cached_fn = jax.jit(
+        lambda s, c: env_core.perception_pass_batched_cached(params, s, c, budget)
+    )
+    timeit("perception cached/clean (M)", cached_fn, fin_pre, cache_clean)
+    cache_dirty = dict(cache_clean, valid=jnp.zeros((m, params.num_robots), bool))
+    timeit("perception cached/dirty (M)", cached_fn, fin_pre, cache_dirty)
+
     post_fn = jax.jit(jax.vmap(
         lambda s, c, p: env_core.step_end_post(params, s, c, p)
     ))
@@ -90,6 +105,15 @@ def main():
 
     obs_fn = jax.jit(jax.vmap(lambda s, p: env_core.observe(params, s, p)))
     timeit("observe (M)", obs_fn, fin, percep)
+
+    if params.use_intention_map:
+        from spatial_intention_maps_tpu.envs import mapper as mapper_mod
+        imap_fn = jax.jit(jax.vmap(
+            lambda s: mapper_mod.global_intention_or_history_map(
+                params, s, jnp.argmax(s.awaiting), params.intention_map_encoding
+            )
+        ))
+        timeit("  observe: intention map (M)", imap_fn, fin)
 
     # observe sub-phase: the egocentric MXU crop alone (synthetic stacks of
     # the same shape), to split channel assembly vs crop cost
@@ -103,7 +127,7 @@ def main():
     timeit("  observe: crop (M)", crop_fn, stacks, pos_m, head_m)
     if jax.default_backend() == "tpu":
         from spatial_intention_maps_tpu.ops import pallas_crop
-        for variant in ("reduce", "matvec"):
+        for variant in ("reduce", "matvec", "jfirst", "wide"):
             pcrop_fn = jax.jit(jax.vmap(
                 lambda g, p, h, v=variant:
                 pallas_crop.extract_local_maps_pallas(g, p, h, variant=v)
