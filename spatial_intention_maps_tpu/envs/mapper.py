@@ -273,8 +273,17 @@ def global_intention_or_history_map(params: EnvParams, state: EnvState, self_r, 
 
     if all_ii:
         # One scatter-max for every robot's whole path (scatters are
-        # expensive; 48 sequential ones dominated the observe cost).
-        g = raster_ops.scatter_max(
+        # expensive; 48 sequential ones dominated the observe cost).  The
+        # dedup variant pre-reduces the ~5k samples to their few hundred
+        # unique cells before scattering — bit-identical (max commutes);
+        # SIM_TPU_SCATTER_DEDUP=0 falls back to the plain scatter.
+        env_sd = os.environ.get("SIM_TPU_SCATTER_DEDUP")
+        scatter = (
+            raster_ops.scatter_max_dedup
+            if (env_sd is None or bool(int(env_sd)))
+            else raster_ops.scatter_max
+        )
+        g = scatter(
             g,
             jnp.concatenate(all_ii),
             jnp.concatenate(all_jj),

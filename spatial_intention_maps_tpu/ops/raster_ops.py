@@ -228,6 +228,57 @@ def scatter_max(img, ii, jj, values, valid):
     return img.at[ii, jj].max(values.astype(img.dtype))
 
 
+def scatter_max_dedup(img, ii, jj, values, valid, budget=2048):
+    """:func:`scatter_max` with exact per-cell pre-reduction.
+
+    TPU scatters cost ~11-14 ns per DESCRIPTOR regardless of duplicates,
+    and the intention-map rasterizer emits ~5k samples/env that land on
+    only a few hundred unique cells.  Sort the descriptors by flat cell,
+    reduce each run to its max with a segmented scan, compact the run
+    tails, and scatter at most ``budget`` descriptors.  Bit-identical to
+    :func:`scatter_max` — max is order-independent — with a lax.cond
+    fallback to the plain scatter if unique cells ever exceed the budget
+    (paths are bounded by BACKTRACE_MAX_STEPS cells/robot, so they don't).
+    """
+    h, w = img.shape
+    p = ii.shape[0]
+    budget = min(budget, p)
+    vals = jnp.where(valid, values.astype(img.dtype), -jnp.inf)
+    iic = jnp.clip(ii, 0, h - 1)
+    jjc = jnp.clip(jj, 0, w - 1)
+    trash = h * w
+    key = jnp.where(valid, iic * w + jjc, trash)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    val_s = vals[order]
+
+    # Segmented max over equal-key runs (keys are contiguous after sort).
+    def comb(a, b):
+        ka, va = a
+        kb, vb = b
+        return kb, jnp.where(ka == kb, jnp.maximum(va, vb), vb)
+
+    _, run_max = jax.lax.associative_scan(comb, (key_s, val_s))
+    is_tail = jnp.concatenate(
+        [key_s[1:] != key_s[:-1], jnp.ones((1,), bool)]
+    ) & (key_s < trash)
+    n_unique = jnp.sum(is_tail.astype(jnp.int32))
+    tail_order = jnp.argsort(~is_tail, stable=True)[:budget]
+    ck = key_s[tail_order]
+    cv = run_max[tail_order]
+    cvalid = is_tail[tail_order]
+
+    def compacted(_):
+        civ = jnp.where(cvalid, ck // w, 0)
+        cjv = jnp.where(cvalid, ck % w, 0)
+        return img.at[civ, cjv].max(jnp.where(cvalid, cv, -jnp.inf))
+
+    def full(_):
+        return img.at[iic, jjc].max(vals)
+
+    return jax.lax.cond(n_unique <= budget, compacted, full, None)
+
+
 def line_free(free_grid, p0_ij, p1_ij, num_samples):
     """True iff every sampled cell along the segment is free — the straight
     line shortcut test (envs.py:2483-2485) and waypoint pruning LOS test

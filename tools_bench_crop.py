@@ -60,6 +60,33 @@ def main():
                       f"{type(e).__name__}", flush=True)
 
 
+def bench_scatter(m=256, p=5120):
+    """scatter_max vs the sorted-dedup variant on polyline-like inputs."""
+    import numpy as np
+
+    from spatial_intention_maps_tpu.ops import raster_ops
+
+    h, w = 80, 128
+    rng = np.random.RandomState(0)
+    img = jnp.zeros((m, h, w), jnp.float32)
+    centers = rng.randint(0, h * w, (m, 40))
+    base = np.repeat(centers, p // 40, axis=1)
+    ii = jnp.asarray(np.clip(base // w + rng.randint(-2, 3, (m, p)), 0, h - 1))
+    jj = jnp.asarray(np.clip(base % w + rng.randint(-2, 3, (m, p)), 0, w - 1))
+    vals = jnp.asarray(rng.rand(m, p).astype(np.float32))
+    valid = jnp.asarray(rng.rand(m, p) > 0.4)
+
+    plain = timeit("scatter_max (vmapped M)", jax.jit(jax.vmap(
+        raster_ops.scatter_max)), img, ii, jj, vals, valid)
+    for budget in (1024, 2048):
+        out = timeit(f"scatter_max_dedup budget={budget}", jax.jit(jax.vmap(
+            lambda g, a, b, v, ok, bd=budget: raster_ops.scatter_max_dedup(
+                g, a, b, v, ok, budget=bd)
+        )), img, ii, jj, vals, valid)
+        print(f"  match: {bool(jnp.all(out == plain))}", flush=True)
+
+
 if __name__ == "__main__":
     main()
+    bench_scatter()
     os._exit(0)
