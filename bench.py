@@ -166,7 +166,14 @@ def main():
             ls, served = jax.lax.scan(body, ls, None, length=num_rounds)
             return ls, jnp.sum(served)
 
-        ls, _ = drive(ls)  # compile + steady-state warm
+        # Warm drives: the first ~150 rounds from init are a transient (all
+        # envs act in lockstep, the distance-field cache starts all-dirty,
+        # partial-obs exploration churns every map); tools_probe_cache shows
+        # round times settling from ~round 150 on.  Each extra drive reuses
+        # the compiled scan — no recompile.
+        warm_drives = int(os.environ.get("BENCH_WARM_DRIVES", "3"))
+        for _ in range(warm_drives):
+            ls, _ = drive(ls)  # compile (first call) + steady-state warm
         jax.block_until_ready(ls.env.robot_pos)
         t0 = time.time()
         ls, served_dev = drive(ls)

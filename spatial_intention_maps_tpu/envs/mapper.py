@@ -275,12 +275,14 @@ def global_intention_or_history_map(params: EnvParams, state: EnvState, self_r, 
         # One scatter-max for every robot's whole path (scatters are
         # expensive; 48 sequential ones dominated the observe cost).  The
         # dedup variant pre-reduces the ~5k samples to their few hundred
-        # unique cells before scattering — bit-identical (max commutes);
-        # SIM_TPU_SCATTER_DEDUP=0 falls back to the plain scatter.
+        # unique cells before scattering — bit-identical (max commutes) —
+        # but its two (P,) sorts lower to slow TPU bitonic networks: the
+        # end-to-end bench REGRESSED 3132 -> 2273 steps/s with it on, so
+        # it is OPT-IN (SIM_TPU_SCATTER_DEDUP=1) pending a faster sort.
         env_sd = os.environ.get("SIM_TPU_SCATTER_DEDUP")
         scatter = (
             raster_ops.scatter_max_dedup
-            if (env_sd is None or bool(int(env_sd)))
+            if (env_sd is not None and bool(int(env_sd)))
             else raster_ops.scatter_max
         )
         g = scatter(

@@ -19,15 +19,30 @@ import jax.numpy as jnp
 
 
 def timeit(name, fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Data-dependence-chained timing with ONE host sync: through the
+    remote tunnel, block_until_ready on an unconsumed output has been
+    observed to return early (3 us 'timings' for 22 ms kernels), so each
+    rep's scalar reduction feeds the next rep's accumulator and the final
+    float() forces the whole chain; a null-jit RTT baseline is subtracted."""
+    red = jax.jit(lambda acc, *a: acc + jax.tree.reduce(
+        lambda r, x: r + jnp.sum(x.astype(jnp.float32)),
+        fn(*a), jnp.float32(0)))
+    null = jax.jit(lambda acc: acc + 1.0)
+    acc = red(jnp.float32(0), *args)
+    float(acc)  # compile + settle
+    a0 = null(jnp.float32(0))
     t0 = time.time()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.time() - t0) / reps * 1000
-    print(f"{name:42s} {ms:8.2f} ms", flush=True)
-    return out
+        a0 = null(a0)
+    rtt = time.time() - t0
+    acc = jnp.float32(0)
+    t0 = time.time()
+    for _ in range(reps):
+        acc = red(acc, *args)
+    s = float(acc)
+    ms = (time.time() - t0 - rtt) / reps * 1000
+    print(f"{name:42s} {ms:8.2f} ms   (sum {s:.1f})", flush=True)
+    return None
 
 
 def main():
