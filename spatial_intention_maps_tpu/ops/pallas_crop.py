@@ -45,7 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants
 
-_BLOCK_P = 1024
+# Pixel-block rows per kernel program.  2304 (4 programs per 96x96 crop)
+# beats 1024 by ~4 ms at M=256 — per-program grid-iteration overhead
+# amortizes over fatter blocks — while 4608 overflows scoped VMEM (the
+# vmapped output staging).  Chain-timed: 19.2 / 15.1 ms at 1024 / 2304
+# (tools_bench_crop.py); SIM_TPU_PALLAS_CROP_BLOCK overrides.
+_BLOCK_P = 2304
 
 
 def _crop_kernel(gi_ref, gj_ref, g_ref, out_ref):
