@@ -232,8 +232,14 @@ def global_intention_or_history_map(params: EnvParams, state: EnvState, self_r, 
     scale = params.intention_map_scale
 
     all_ii, all_jj, all_vals, all_ok = [], [], [], []
-    for r in range(params.num_robots):
-        active = (state.fsm[r] != IDLE) & (r != self_r)
+    # Rotate over the OTHER R-1 robots (traced indices) instead of all R
+    # with a self-mask: the observer's slots were guaranteed -inf anyway,
+    # so this drops 1/R of the polyline sampling and scatter descriptors
+    # bit-exactly (scatter-max is order-independent).
+    self_r = jnp.asarray(self_r)
+    for k in range(1, params.num_robots):
+        r = (self_r + k) % params.num_robots
+        active = state.fsm[r] != IDLE  # r != self_r by construction
 
         if encoding == "circle":
             i, j = geometry.position_to_pixel(state.target_ee[r, 0], state.target_ee[r, 1], h, w)
